@@ -1,0 +1,42 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices and x64 enabled.
+
+Multi-chip sharding tests use the virtual CPU mesh; numerical oracles need
+float64 (the reference stack is all double precision via PETSc/scipy).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def bcc_config():
+    return {
+        "geometry": {
+            "cell_size": {"x": 1, "y": 1, "z": 1},
+            "number_of_cells": {"x": 1, "y": 1, "z": 1},
+            "radii": [0.1],
+            "geom_types": ["BCC"],
+        }
+    }
+
+
+@pytest.fixture
+def bcc222_config():
+    return {
+        "geometry": {
+            "cell_size": {"x": 1, "y": 1, "z": 1},
+            "number_of_cells": {"x": 2, "y": 2, "z": 2},
+            "radii": [0.1],
+            "geom_types": ["BCC"],
+        }
+    }
