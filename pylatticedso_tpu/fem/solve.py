@@ -1,0 +1,112 @@
+"""Preconditioned conjugate gradient on device + differentiable linear solve.
+
+``pcg`` is a ``lax.while_loop`` re-implementation of the reference's
+hand-rolled CG (conjugate_gradient_solver.py:15-122), preserving its
+semantics — optional step clamp ``alpha_max``, restart period, and the dual
+convergence test (residual vs ``tol * |b|`` or search-direction collapse) —
+while running entirely on device over pytree-shaped unknowns.
+
+``linear_solve`` wraps the operator in ``lax.custom_linear_solve`` so that
+``jax.grad`` through a lattice equilibrium solve performs the adjoint solve
+automatically (symmetric operators: the transpose solve reuses the same CG) —
+the implicit-function-theorem equivalent of the reference's hand-built
+adjoint pipeline (lattice_opti.py:1487-1648).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["pcg", "linear_solve", "PCGResult"]
+
+
+class PCGResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray
+    residual_norm: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _dot(a, b):
+    return jnp.vdot(a.reshape(-1), b.reshape(-1))
+
+
+def _norm(a):
+    return jnp.sqrt(_dot(a, a).real)
+
+
+def pcg(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
+        x0: Optional[jnp.ndarray] = None, maxiter: int = 1000,
+        tol: float = 1e-10, mintol: float = 0.0,
+        alpha_max: Optional[float] = None,
+        restart_every: int = 0) -> PCGResult:
+    """Matrix-free PCG over arrays of any shape.
+
+    Args mirror the reference solver; ``alpha_max``/``restart_every``/
+    ``mintol`` default OFF (0 / None) since the standard CG is strictly
+    better for SPD systems — pass the reference's values (0.1 / 1000 / 1e-5)
+    for behavioral parity runs.
+    """
+    if M is None:
+        M = lambda r: r
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - A(x)
+    z = M(r)
+    p = z
+    rz = _dot(r, z)
+    norm_b = _norm(b)
+    # a zero rhs must return x = 0 without iterating
+    threshold = tol * jnp.maximum(norm_b, jnp.finfo(b.dtype).tiny)
+
+    def cond(state):
+        x, r, z, p, rz, k, done = state
+        return jnp.logical_and(k < maxiter, jnp.logical_not(done))
+
+    def body(state):
+        x, r, z, p, rz, k, _ = state
+        Ap = A(p)
+        pAp = _dot(p, Ap)
+        alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+        if alpha_max is not None:
+            alpha = jnp.minimum(alpha, alpha_max)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        res = _norm(r)
+        done = res <= threshold
+        if mintol > 0:
+            done = jnp.logical_or(done, _norm(p) < mintol * (_norm(x) + 1e-12))
+        z = M(r)
+        rz_new = _dot(r, z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        p = z + beta * p
+        if restart_every > 0:
+            p = jnp.where((k + 1) % restart_every == 0, z, p)
+        return (x, r, z, p, rz_new, k + 1, done)
+
+    init_done = _norm(r) <= threshold
+    state = jax.lax.while_loop(cond, body, (x, r, z, p, rz, jnp.asarray(0), init_done))
+    x, r, z, p, rz, k, done = state
+    return PCGResult(x=x, iterations=k, residual_norm=_norm(r), converged=done)
+
+
+def linear_solve(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
+                 x0: Optional[jnp.ndarray] = None, maxiter: int = 2000,
+                 tol: float = 1e-12) -> jnp.ndarray:
+    """Differentiable SPD solve: custom_linear_solve with CG forward/adjoint.
+
+    Gradients w.r.t. anything entering ``A`` or ``b`` flow through the
+    implicit function theorem; the transpose solve is the same CG because the
+    operator is symmetric.
+    """
+
+    def mv(x):
+        return A(x)
+
+    def solve_fn(matvec, rhs):
+        return pcg(matvec, rhs, M=M, x0=x0, maxiter=maxiter, tol=tol).x
+
+    return jax.lax.custom_linear_solve(mv, b, solve_fn, symmetric=True)

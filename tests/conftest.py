@@ -13,6 +13,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin forces itself into jax_platforms regardless of the env
+# var; override through the config API so tests run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
