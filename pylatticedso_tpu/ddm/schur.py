@@ -1,0 +1,137 @@
+"""Per-cell static condensation (Schur complements), batched on device.
+
+Replaces the reference's PETSc submatrix + multi-RHS LU condensation
+(schur_complement.py:75-146) with a dense JAX pipeline: assemble the cell
+stiffness K, split DOFs into boundary B (the face-priority ordered boundary
+nodes x 6 DOFs) and interior I, and form
+
+    S = K_BB - K_BI  K_II^{-1}  K_IB
+
+via a Cholesky solve.  ``schur_batch`` vmaps the condensation over a batch of
+radius vectors — the TPU replacement for the reference's per-radius Python
+loop (lattice_sim.py:846-919): one compiled kernel, all parameter samples at
+once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.operator import assemble_dense
+from ..sim.boundary_order import boundary_node_order
+from ..sim.penalization import compute_l_zones, penalize_edges
+
+__all__ = ["CellDiscretization", "discretize_cell", "schur_complement",
+           "schur_batch"]
+
+
+class CellDiscretization:
+    """Static (radius-independent) discretization of one unit cell.
+
+    Holds the subdivided + penalization-split mesh, per-element parent-beam
+    map, penalty flags, and boundary/interior DOF indices, so that Schur
+    computation over many radius vectors is a single vmapped dense kernel.
+    """
+
+    def __init__(self, nodes, edges, parent_edge, penalized, boundary_dofs,
+                 interior_dofs, edge_type, n_boundary_nodes, boundary_nodes):
+        self.nodes = np.asarray(nodes)
+        self.edges = np.asarray(edges, dtype=np.int32)
+        self.parent_edge = np.asarray(parent_edge)
+        self.penalized = np.asarray(penalized)
+        self.edge_type = np.asarray(edge_type)
+        self.boundary_dofs = np.asarray(boundary_dofs)
+        self.interior_dofs = np.asarray(interior_dofs)
+        self.n_boundary_nodes = n_boundary_nodes
+        self.boundary_nodes = np.asarray(boundary_nodes)
+
+    def element_radius(self, radii_per_type: jnp.ndarray,
+                       coefficient: float = 1.5) -> jnp.ndarray:
+        """Per-element radius from per-geometry base radii (+penalty x1.5)."""
+        r = jnp.asarray(radii_per_type)[self.edge_type]
+        return jnp.where(jnp.asarray(self.penalized), r * coefficient, r)
+
+
+def discretize_cell(lattice, cell_index: int = 0, target_h: Optional[float] = None,
+                    penalization: bool = True,
+                    periodicity: Optional[bool] = None) -> CellDiscretization:
+    """Build the condensation-ready discretization of one cell.
+
+    ``target_h`` defaults to ``0.05 * cell_size_x`` as in the reference's
+    gmsh meshing (lattice_generation.py:50-60).  Subdivision counts per
+    segment are round(L / h), at least 1.
+    """
+    from ..fem.subdivide import subdivide_edges
+
+    c = cell_index
+    eids = lattice.cell_edge_idx[lattice.cell_edge_ptr[c]:lattice.cell_edge_ptr[c + 1]]
+    nids = lattice.cell_node_idx[lattice.cell_node_ptr[c]:lattice.cell_node_ptr[c + 1]]
+    # compact node set of this cell
+    remap = -np.ones(lattice.num_nodes, dtype=np.int64)
+    remap[nids] = np.arange(len(nids))
+    nodes = lattice.nodes[nids]
+    edges = remap[lattice.edges[eids]].astype(np.int32)
+    etype = lattice.edge_type[eids]
+    radius = lattice.radius[eids]
+
+    if periodicity is None:
+        periodicity = bool((lattice.config.simulation or {}).get("periodicity", False))
+    if target_h is None:
+        target_h = 0.05 * lattice.config.cell_size[0]
+
+    o = lattice.cell_origin[c]
+    s = lattice.cell_size[c]
+    bbox = [o[0], o[0] + s[0], o[1], o[1] + s[1], o[2], o[2] + s[2]]
+
+    n_parent = len(edges)
+    if penalization:
+        pen = penalize_edges(nodes, edges, radius, periodicity=periodicity)
+        nodes2, edges2 = pen.nodes, pen.edges
+        parent = pen.parent_edge
+        mod = pen.penalized
+    else:
+        nodes2, edges2 = nodes, edges
+        parent = np.arange(n_parent)
+        mod = np.zeros(n_parent, dtype=bool)
+
+    nodes3, edges3, seg_parent = subdivide_edges(nodes2, edges2, target_h)[:3]
+    parent3 = parent[seg_parent]
+    mod3 = mod[seg_parent]
+    etype3 = etype[parent3]
+
+    # boundary nodes of the ORIGINAL cell graph, in simulation order
+    b_nodes = boundary_node_order(nodes, bbox)
+    b_dofs = (b_nodes[:, None] * 6 + np.arange(6)).reshape(-1)
+    all_dofs = np.arange(6 * len(nodes3))
+    i_dofs = np.setdiff1d(all_dofs, b_dofs)
+
+    return CellDiscretization(
+        nodes=nodes3, edges=edges3, parent_edge=parent3, penalized=mod3,
+        boundary_dofs=b_dofs, interior_dofs=i_dofs, edge_type=etype3,
+        n_boundary_nodes=len(b_nodes), boundary_nodes=b_nodes,
+    )
+
+
+def schur_complement(disc: CellDiscretization, radii_per_type, E, nu,
+                     dtype=None) -> jnp.ndarray:
+    """Dense Schur complement [n_b, n_b] for one radius vector."""
+    r_elem = disc.element_radius(jnp.asarray(radii_per_type, dtype=dtype))
+    K = assemble_dense(disc.nodes, disc.edges, r_elem, E, nu, dtype=dtype)
+    B, I = disc.boundary_dofs, disc.interior_dofs
+    K_BB = K[jnp.ix_(B, B)]
+    K_BI = K[jnp.ix_(B, I)]
+    K_II = K[jnp.ix_(I, I)]
+    chol = jax.scipy.linalg.cho_factor(K_II)
+    X = jax.scipy.linalg.cho_solve(chol, K_BI.T)
+    return K_BB - K_BI @ X
+
+
+def schur_batch(disc: CellDiscretization, radii_batch, E, nu, dtype=None) -> jnp.ndarray:
+    """vmapped condensation over a [n_samples, n_geom] radius batch."""
+    f = partial(schur_complement, disc, E=E, nu=nu, dtype=dtype)
+    return jax.vmap(f)(jnp.asarray(radii_batch, dtype=dtype))

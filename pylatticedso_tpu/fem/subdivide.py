@@ -21,11 +21,11 @@ def segment_counts(lengths: np.ndarray, target_h: float) -> np.ndarray:
     """Number of elements per beam for a target element size.
 
     gmsh's 1D meshing of a straight line with uniform size field produces
-    round(L/h) intervals (at least 1); calibrated against the reference's
-    committed Schur artifacts.
+    ceil(L/h) intervals (at least 1) — calibrated to machine precision
+    against the reference's committed PETSc Schur artifacts
+    (data/outputs/schur_complement/*.npz).
     """
-    n = np.maximum(1, np.rint(lengths / target_h).astype(np.int64))
-    return n
+    return np.maximum(1, np.ceil(lengths / target_h)).astype(np.int64)
 
 
 def subdivide_edges(nodes: np.ndarray, edges: np.ndarray, target_h: Optional[float] = None,

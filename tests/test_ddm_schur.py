@@ -1,0 +1,75 @@
+"""Schur condensation parity against the reference's committed PETSc artifacts.
+
+The reference repo ships dolfinx/PETSc-computed Schur complements for three
+unit cells at 10 radii (data/outputs/schur_complement/*.npz, produced by
+examples/simulation/construct_schur_complement_dataset.py with VeroClear,
+periodic stitching, joint penalization, gmsh mesh size 0.05).  Matching them
+validates the whole chain: Timoshenko element + reduced shear, penalization
+angles/L-zones/splitting, subdivision, boundary DOF ordering, condensation.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from pylatticedso_tpu import build_lattice
+from pylatticedso_tpu.ddm.schur import discretize_cell, schur_complement
+
+ARTIFACTS = Path("/root/reference/data/outputs/schur_complement")
+
+E_MOD, NU = 1013.0, 0.3
+
+
+def single_cell(geom, radius):
+    return build_lattice({
+        "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                     "number_of_cells": {"x": 1, "y": 1, "z": 1},
+                     "radii": [radius], "geom_types": [geom]},
+        "simulation_parameters": {"enable": True, "material": "VeroClear",
+                                  "periodicity": True}})
+
+
+# the BCC artifact was generated with joint penalization active; the Hybrid1
+# and Hybrid4 artifacts without (penalization is skipped when the reference
+# runs with the DDM surrogate path, lattice_sim.py:119-123) — established by
+# matching each at <1e-12 under exactly one setting
+@pytest.mark.parametrize("geom,n_b,pen", [("BCC", 48, True),
+                                          ("Hybrid1", 72, False),
+                                          ("Hybrid4", 36, False)])
+@pytest.mark.parametrize("i", [0, 4, 9])
+def test_schur_matches_reference_artifacts(geom, n_b, pen, i):
+    npz = ARTIFACTS / f"Schur_complement_{geom}.npz"
+    if not npz.exists():
+        pytest.skip("reference artifacts not available")
+    d = np.load(npz)
+    rv, sm = d["radius_values"], d["schur_matrices"]
+    r = float(rv[i][0])
+    lat = single_cell(geom, r)
+    disc = discretize_cell(lat, penalization=pen, periodicity=True)
+    S = np.asarray(schur_complement(disc, np.array([r]), E_MOD, NU))
+    assert S.shape == (n_b, n_b) == sm[i].shape
+    err = np.abs(S - sm[i]).max() / np.abs(sm[i]).max()
+    assert err < 1e-10, f"{geom} r={r}: rel err {err:.3e}"
+
+
+def test_schur_symmetry_and_rbm():
+    lat = single_cell("BCC", 0.05)
+    disc = discretize_cell(lat)
+    S = np.asarray(schur_complement(disc, np.array([0.05]), E_MOD, NU))
+    np.testing.assert_allclose(S, S.T, atol=1e-8 * np.abs(S).max())
+    # rigid translation of all boundary nodes produces zero reaction
+    nb = disc.n_boundary_nodes
+    for k in range(3):
+        u = np.zeros((nb, 6)); u[:, k] = 1.0
+        np.testing.assert_allclose(S @ u.reshape(-1), 0.0,
+                                   atol=1e-7 * np.abs(S).max())
+
+
+def test_schur_without_penalization_differs():
+    lat = single_cell("BCC", 0.05)
+    Sp = np.asarray(schur_complement(discretize_cell(lat, penalization=True),
+                                     np.array([0.05]), E_MOD, NU))
+    Sn = np.asarray(schur_complement(discretize_cell(lat, penalization=False),
+                                     np.array([0.05]), E_MOD, NU))
+    assert np.abs(Sp - Sn).max() / np.abs(Sp).max() > 1e-3
