@@ -39,7 +39,8 @@ class CellDiscretization:
     """
 
     def __init__(self, nodes, edges, parent_edge, penalized, boundary_dofs,
-                 interior_dofs, edge_type, n_boundary_nodes, boundary_nodes):
+                 interior_dofs, edge_type, n_boundary_nodes, boundary_nodes,
+                 weight=None):
         self.nodes = np.asarray(nodes)
         self.edges = np.asarray(edges, dtype=np.int32)
         self.parent_edge = np.asarray(parent_edge)
@@ -49,6 +50,7 @@ class CellDiscretization:
         self.interior_dofs = np.asarray(interior_dofs)
         self.n_boundary_nodes = n_boundary_nodes
         self.boundary_nodes = np.asarray(boundary_nodes)
+        self.weight = np.ones(len(self.edges)) if weight is None else np.asarray(weight)
 
     def element_radius(self, radii_per_type: jnp.ndarray,
                        coefficient: float = 1.5) -> jnp.ndarray:
@@ -59,12 +61,17 @@ class CellDiscretization:
 
 def discretize_cell(lattice, cell_index: int = 0, target_h: Optional[float] = None,
                     penalization: bool = True,
-                    periodicity: Optional[bool] = None) -> CellDiscretization:
+                    periodicity: Optional[bool] = None,
+                    l_zones: Optional[np.ndarray] = None,
+                    share_weights: bool = False) -> CellDiscretization:
     """Build the condensation-ready discretization of one cell.
 
     ``target_h`` defaults to ``0.05 * cell_size_x`` as in the reference's
-    gmsh meshing (lattice_generation.py:50-60).  Subdivision counts per
-    segment are round(L / h), at least 1.
+    gmsh meshing (lattice_generation.py:50-60).  ``l_zones`` may pass
+    lattice-global penalization zones (the reference computes beam angles on
+    the full lattice, so shared boundary nodes see neighbor-cell beams);
+    default computes them from this cell's subgraph (exact for single-cell
+    lattices).
     """
     from ..fem.subdivide import subdivide_edges
 
@@ -78,6 +85,15 @@ def discretize_cell(lattice, cell_index: int = 0, target_h: Optional[float] = No
     edges = remap[lattice.edges[eids]].astype(np.int32)
     etype = lattice.edge_type[eids]
     radius = lattice.radius[eids]
+    if share_weights:
+        # partition of unity over cells: beams lying in a shared face are
+        # weighted 1/multiplicity so per-cell Schur complements sum exactly
+        # to the condensed global stiffness (the reference double-counts
+        # such beams — a deviation we do not reproduce)
+        mult = np.bincount(lattice.cell_edge_idx, minlength=lattice.num_edges)
+        weight0 = 1.0 / mult[eids]
+    else:
+        weight0 = np.ones(len(eids))
 
     if periodicity is None:
         periodicity = bool((lattice.config.simulation or {}).get("periodicity", False))
@@ -90,7 +106,9 @@ def discretize_cell(lattice, cell_index: int = 0, target_h: Optional[float] = No
 
     n_parent = len(edges)
     if penalization:
-        pen = penalize_edges(nodes, edges, radius, periodicity=periodicity)
+        lz = l_zones[eids] if l_zones is not None else None
+        pen = penalize_edges(nodes, edges, radius, periodicity=periodicity,
+                             l_zones=lz)
         nodes2, edges2 = pen.nodes, pen.edges
         parent = pen.parent_edge
         mod = pen.penalized
@@ -103,6 +121,7 @@ def discretize_cell(lattice, cell_index: int = 0, target_h: Optional[float] = No
     parent3 = parent[seg_parent]
     mod3 = mod[seg_parent]
     etype3 = etype[parent3]
+    weight3 = weight0[parent3]
 
     # boundary nodes of the ORIGINAL cell graph, in simulation order
     b_nodes = boundary_node_order(nodes, bbox)
@@ -113,7 +132,7 @@ def discretize_cell(lattice, cell_index: int = 0, target_h: Optional[float] = No
     return CellDiscretization(
         nodes=nodes3, edges=edges3, parent_edge=parent3, penalized=mod3,
         boundary_dofs=b_dofs, interior_dofs=i_dofs, edge_type=etype3,
-        n_boundary_nodes=len(b_nodes), boundary_nodes=b_nodes,
+        n_boundary_nodes=len(b_nodes), boundary_nodes=b_nodes, weight=weight3,
     )
 
 
@@ -121,7 +140,8 @@ def schur_complement(disc: CellDiscretization, radii_per_type, E, nu,
                      dtype=None) -> jnp.ndarray:
     """Dense Schur complement [n_b, n_b] for one radius vector."""
     r_elem = disc.element_radius(jnp.asarray(radii_per_type, dtype=dtype))
-    K = assemble_dense(disc.nodes, disc.edges, r_elem, E, nu, dtype=dtype)
+    K = assemble_dense(disc.nodes, disc.edges, r_elem, E, nu,
+                       weight=disc.weight, dtype=dtype)
     B, I = disc.boundary_dofs, disc.interior_dofs
     K_BB = K[jnp.ix_(B, B)]
     K_BI = K[jnp.ix_(B, I)]

@@ -71,11 +71,19 @@ def build_operator(nodes, edges, radius, E, nu, kappa: float = KAPPA,
 
 
 def assemble_dense(nodes, edges, radius, E, nu, kappa: float = KAPPA,
-                   dtype=None) -> jnp.ndarray:
-    """Dense [6N, 6N] global stiffness (small systems / condensation only)."""
+                   weight=None, dtype=None) -> jnp.ndarray:
+    """Dense [6N, 6N] global stiffness (small systems / condensation only).
+
+    ``weight`` scales each element's contribution — used as a partition of
+    unity (1/multiplicity) for beams shared by several cells in the DDM
+    condensation, so per-cell Schur complements assemble to exactly the
+    global stiffness.
+    """
     nodes = jnp.asarray(nodes, dtype=dtype)
     edges = jnp.asarray(edges, dtype=jnp.int32)
     Ke = element_stiffness_dense(nodes, edges, jnp.asarray(radius, dtype=dtype), E, nu, kappa)
+    if weight is not None:
+        Ke = Ke * jnp.asarray(weight, dtype=Ke.dtype)[:, None, None]
     N = nodes.shape[0]
     # 12 global dof ids per edge
     dof = jnp.concatenate([edges[:, :1] * 6 + jnp.arange(6, dtype=jnp.int32),

@@ -77,11 +77,18 @@ class StaticProblem:
 
 def make_problem(lattice: Lattice, material: Optional[MatProperties] = None,
                  bc: Optional[BCArrays] = None, subdivide_h: Optional[float] = None,
-                 radius: Optional[np.ndarray] = None, dtype=None) -> StaticProblem:
+                 radius: Optional[np.ndarray] = None, penalization: bool = False,
+                 periodicity: Optional[bool] = None, dtype=None) -> StaticProblem:
     mat = material or MatProperties(lattice.config.material_name())
     bc = bc or apply_boundary_conditions(lattice)
     nodes, edges = lattice.nodes, lattice.edges
     rad = lattice.radius if radius is None else np.asarray(radius)
+    if penalization:
+        from ..sim.penalization import penalize_edges
+        if periodicity is None:
+            periodicity = bool((lattice.config.simulation or {}).get("periodicity", False))
+        pen = penalize_edges(nodes, edges, rad, periodicity=periodicity)
+        nodes, edges, rad = pen.nodes, pen.edges, pen.radius
     if subdivide_h is not None:
         nodes, edges, parent, rad = subdivide_edges(nodes, edges, subdivide_h,
                                                     edge_data=(rad,))
@@ -91,10 +98,12 @@ def make_problem(lattice: Lattice, material: Optional[MatProperties] = None,
 
 def solve_fem(lattice: Lattice, material: Optional[MatProperties] = None,
               bc: Optional[BCArrays] = None, subdivide_h: Optional[float] = None,
-              tol: float = 1e-12, maxiter: int = 20000, dtype=None) -> FEMResult:
+              tol: float = 1e-12, maxiter: int = 20000,
+              penalization: bool = False, dtype=None) -> FEMResult:
     """End-to-end linear static solve of the lattice under its config BCs."""
     bc = bc or apply_boundary_conditions(lattice)
-    prob = make_problem(lattice, material, bc, subdivide_h, dtype=dtype)
+    prob = make_problem(lattice, material, bc, subdivide_h,
+                        penalization=penalization, dtype=dtype)
     u, it, res = prob.solve(tol=tol, maxiter=maxiter)
     Ku = prob.op.matvec(u)
     fixed = 1.0 - prob.free
