@@ -1,0 +1,84 @@
+"""Benchmark: assemble + PCG solve + full compliance gradient per iteration.
+
+BASELINE.json target: 50^3-cell octet beam lattice (~2-3M DOF), one
+optimization iteration (implicit assembly, matrix-free Jacobi-PCG solve,
+adjoint compliance gradient w.r.t. every strut radius) in < 1 s on a single
+TPU v5e chip.  Prints ONE JSON line:
+  {"metric": ..., "value": seconds_per_iteration, "unit": "s",
+   "vs_baseline": target/value}  (vs_baseline > 1 means beating the target).
+
+Env knobs: BENCH_N (cells per side, default 50), BENCH_TOL (CG rtol, 1e-6),
+BENCH_GEOM (default Octet).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pylatticedso_tpu import build_lattice
+    from pylatticedso_tpu.fem.bc import apply_boundary_conditions
+    from pylatticedso_tpu.parallel.sharding import (ShardedLattice, make_mesh,
+                                                    make_compliance_step)
+
+    n = int(os.environ.get("BENCH_N", "50"))
+    tol = float(os.environ.get("BENCH_TOL", "1e-6"))
+    geom = os.environ.get("BENCH_GEOM", "Octet")
+
+    t0 = time.time()
+    lat = build_lattice({
+        "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                     "number_of_cells": {"x": n, "y": n, "z": n},
+                     "radii": [0.05], "geom_types": [geom]},
+        "boundary_conditions": {
+            "Displacement": {"Fixed": {"Surface": ["Zmin"],
+                                       "DOF": ["X", "Y", "Z", "RX", "RY", "RZ"],
+                                       "Value": [0, 0, 0, 0, 0, 0]}},
+            "Force": {"Load": {"Surface": ["Zmax"], "DOF": ["Z"], "Value": [-1.0]}}}})
+    build_s = time.time() - t0
+    bc = apply_boundary_conditions(lat)
+    dofs = 6 * lat.num_nodes
+
+    mesh = make_mesh(n_shard=len(jax.devices()), n_dp=1)
+    shl = ShardedLattice(mesh, lat.nodes, lat.edges, 1013.0, 0.3,
+                         dtype=jnp.float32)
+    step = make_compliance_step(shl, ~bc.fixed, bc.f_applied, tol=tol,
+                                maxiter=int(os.environ.get("BENCH_MAXITER", "6000")))
+    r = shl.radius_padded(lat.radius)
+
+    # compile + warm up
+    c, g = step(r)
+    jax.block_until_ready((c, g))
+    times = []
+    for _ in range(3):
+        t1 = time.time()
+        c, g = step(r)
+        jax.block_until_ready((c, g))
+        times.append(time.time() - t1)
+    sec = min(times)
+    target = 1.0
+    print(json.dumps({
+        "metric": f"{n}^3 {geom} ({dofs} DOF, {lat.num_edges} beams): "
+                  "PCG solve + adjoint compliance gradient, one iteration",
+        "value": round(sec, 4),
+        "unit": "s",
+        "vs_baseline": round(target / sec, 3),
+        "extra": {
+            "dofs_per_sec": round(dofs / sec, 1),
+            "compliance": float(c),
+            "grad_norm": float(jnp.linalg.norm(g)),
+            "host_build_s": round(build_s, 1),
+            "cg_tol": tol,
+            "n_devices": len(jax.devices()),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -166,7 +166,15 @@ def edge_forces(sig: jnp.ndarray, geom: EdgeGeometry) -> Tuple[jnp.ndarray, ...]
 def edge_dof_diag(geom: EdgeGeometry, D: jnp.ndarray) -> jnp.ndarray:
     """Diagonal of K_e per edge, [E,12] — for Jacobi preconditioning.
 
-    diag(K_e) = L * sum_k D_k B_k^2 elementwise over the 12 columns.
+    Factored form of diag(L * B^T D B) — avoids materializing B, so the
+    large-scale path stays bandwidth-light (9 + 6 floats per edge).
+    Both endpoints share the same diagonal by symmetry of B's columns.
     """
-    B = _strain_operator(geom)
-    return jnp.einsum("ek,ekl->el", D * geom.L[:, None], B**2)
+    t2, a12, a22 = geom.t**2, geom.a1**2, geom.a2**2
+    invL = (1.0 / geom.L)[:, None]
+    L4 = (geom.L / 4.0)[:, None]
+    d_u = (D[:, 0:1] * t2 + D[:, 1:2] * a12 + D[:, 2:3] * a22) * invL
+    d_th = (D[:, 1:2] * a22 + D[:, 2:3] * a12) * L4 \
+        + (D[:, 3:4] * t2 + D[:, 4:5] * a12 + D[:, 5:6] * a22) * invL
+    half = jnp.concatenate([d_u, d_th], axis=1)
+    return jnp.concatenate([half, half], axis=1)

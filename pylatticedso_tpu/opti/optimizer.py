@@ -1,0 +1,326 @@
+"""Design optimization: one differentiable objective, two drivers.
+
+The reference's SLSQP loop with hand-built gradients
+(lattice_opti.py:141-226, 701-901: per-cell u^T (dS/dr) u compliance terms,
+adjoint CG for displacement objectives, FD fallbacks, an empirical sign
+flip at :719) collapses here into ``jax.value_and_grad`` through the
+implicit equilibrium solve (``lax.custom_linear_solve`` performs the adjoint
+CG automatically; compliance is self-adjoint so lambda = u).
+
+Drivers:
+* ``optimize_slsqp``      — scipy SLSQP with the jitted value/grad and the
+  density NonlinearConstraint (reference parity).
+* ``optimize_projected``  — pure-JAX projected gradient with box bounds and
+  a density bisection projection; runs entirely on device via lax.scan-able
+  steps (population-ready with vmap).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DOF_NAMES
+from ..design.lattice import Lattice
+from ..materials import MatProperties
+from ..fem.bc import BCArrays, apply_boundary_conditions
+from ..fem.operator import build_operator
+from ..fem.elements import section_stiffness
+from ..fem.solve import linear_solve
+from .density import KrigingDensity, density_dataset
+from .parameterization import Parameterization, make_parameterization
+
+__all__ = ["OptimizationProblem", "OptimizationResult"]
+
+
+@dataclass
+class OptimizationResult:
+    theta: np.ndarray
+    radii: np.ndarray            # [C, G] final physical radii
+    objective: float
+    density: float
+    iterations: int
+    success: bool
+    history: List[dict] = field(default_factory=list)
+    message: str = ""
+
+
+class OptimizationProblem:
+    """Differentiable lattice design problem.
+
+    objective_type: "compliance" | "displacement" | "displacement_ratio"
+    objective_function: "min" | "max"
+    """
+
+    def __init__(self, lattice: Lattice, material: Optional[MatProperties] = None,
+                 objective_type: str = "compliance", objective_function: str = "min",
+                 objective_data: Optional[dict] = None,
+                 opt_params: Optional[dict] = None,
+                 constraints: Optional[dict] = None,
+                 min_radius: float = 0.01, max_radius: float = 0.1,
+                 normalized: bool = True, density_model: Optional[KrigingDensity] = None,
+                 cg_tol: float = 1e-10, cg_maxiter: int = 5000, dtype=None):
+        cfg_opt = lattice.config.optimization or {}
+        opt_params = opt_params or cfg_opt.get("optimization_parameters",
+                                               {"type": "constant"})
+        constraints = constraints if constraints is not None \
+            else cfg_opt.get("constraints", {})
+        self.objective_type = cfg_opt.get("objective_type", objective_type) \
+            if objective_type == "compliance" else objective_type
+        self.objective_function = cfg_opt.get("objective_function", objective_function) \
+            if objective_function == "min" else objective_function
+
+        self.lattice = lattice
+        self.material = material or MatProperties(lattice.config.material_name())
+        self.bc = apply_boundary_conditions(lattice)
+        self.param = make_parameterization(lattice, opt_params, min_radius,
+                                           max_radius, normalized)
+        self.constraints = constraints
+        self.cg_tol, self.cg_maxiter = cg_tol, cg_maxiter
+        self.history: List[dict] = []
+
+        op = build_operator(lattice.nodes, lattice.edges, lattice.radius,
+                            self.material.young_modulus,
+                            self.material.poisson_ratio, dtype=dtype)
+        self._op = op
+        fdt = op.geom.L.dtype
+        self._free = jnp.asarray(~self.bc.fixed, dtype=fdt)
+        self._f = jnp.asarray(self.bc.f_applied, dtype=fdt)
+        self._u_imp = jnp.asarray(self.bc.u_imposed, dtype=fdt)
+        self._edge_cell = jnp.asarray(lattice.edge_cell)
+        self._edge_type = jnp.asarray(lattice.edge_type)
+
+        obj_data = objective_data or cfg_opt.get("objective_data")
+        self._obj_sel = self._objective_selectors(obj_data)
+
+        # density surrogate (fit on the fly over the voxel dataset if needed)
+        self._density_model = density_model
+        if "relative_density" in self.constraints and self._density_model is None:
+            grid = np.round(np.arange(min_radius, max_radius + 1e-9, 0.01), 3)
+            ds = density_dataset(lattice.config.geom_types, grid)
+            self._density_model = KrigingDensity.fit(ds)
+
+        self._value_and_grad = jax.jit(jax.value_and_grad(self._objective_theta))
+        self._density_vg = (jax.jit(jax.value_and_grad(self._density_theta))
+                            if self._density_model is not None else None)
+
+    # ------------------------------------------------------------------
+    def _objective_selectors(self, obj_data):
+        """Node/DOF masks for displacement-type objectives
+        (calculate_objective, lattice_opti.py:580-641)."""
+        if self.objective_type == "compliance":
+            return None
+        if obj_data is None:
+            raise ValueError(f"objective_data required for {self.objective_type}")
+        nodes_out = self.lattice.find_nodes_on_surface(obj_data["Surface"])
+        dofs_out = [DOF_NAMES[d] for d in obj_data["DOF"]]
+        sel_out = np.zeros((self.lattice.num_nodes, 6))
+        for d in dofs_out:
+            sel_out[nodes_out, d] = 1.0
+        sel_out /= sel_out.sum()
+        if self.objective_type == "displacement":
+            return (jnp.asarray(sel_out),)
+        # displacement_ratio: input = "Load" BC surface (lattice_opti.py:619-627)
+        bcs = self.lattice.config.boundary_conditions or {}
+        load = (bcs.get("Force") or bcs.get("Displacement") or {}).get("Load")
+        if load is None:
+            raise ValueError("displacement_ratio needs a BC entry named 'Load'")
+        nodes_in = self.lattice.find_nodes_on_surface(load["Surface"])
+        sel_in = np.zeros((self.lattice.num_nodes, 6))
+        for d in [DOF_NAMES[x] for x in load["DOF"]]:
+            sel_in[nodes_in, d] = 1.0
+        sel_in /= sel_in.sum()
+        return (jnp.asarray(sel_out), jnp.asarray(sel_in))
+
+    # ------------------------------------------------------------------
+    def _solve_u(self, radius_e: jnp.ndarray) -> jnp.ndarray:
+        op, free = self._op, self._free
+        D = section_stiffness(radius_e, self.material.young_modulus,
+                              self.material.poisson_ratio).D
+        op2 = op._replace(D=D)
+
+        def A(u):
+            return free * op2.matvec(free * u) + (1.0 - free) * u
+
+        from ..fem.elements import edge_dof_diag
+        d12 = edge_dof_diag(op2.geom, D)
+        contrib = jnp.concatenate([d12[:, :6], d12[:, 6:]], axis=0)
+        idx = jnp.concatenate([op.edges[:, 0], op.edges[:, 1]])
+        diag = jax.ops.segment_sum(contrib, idx, num_segments=op.n_nodes)
+        diag = free * diag + (1.0 - free)
+        diag = jnp.where(diag == 0, 1.0, diag)
+        b = free * (self._f - op2.matvec(self._u_imp)) + (1.0 - free) * self._u_imp
+        u = linear_solve(A, b, M=lambda r: r / diag,
+                         maxiter=self.cg_maxiter, tol=self.cg_tol)
+        return free * u + (1.0 - free) * self._u_imp
+
+    def _objective_u(self, u: jnp.ndarray) -> jnp.ndarray:
+        if self.objective_type == "compliance":
+            obj = jnp.sum(self._f * u)
+        elif self.objective_type == "displacement":
+            (sel_out,) = self._obj_sel
+            mean_disp = jnp.sum(sel_out * u)
+            obj = mean_disp
+        elif self.objective_type == "displacement_ratio":
+            sel_out, sel_in = self._obj_sel
+            obj = -(jnp.sum(sel_out * u) * jnp.sum(sel_in * u))
+        else:
+            raise ValueError(self.objective_type)
+        return -obj if self.objective_function == "max" else obj
+
+    def _objective_theta(self, theta: jnp.ndarray) -> jnp.ndarray:
+        r_e = self.param.edge_radius(theta, self._edge_cell, self._edge_type)
+        return self._objective_u(self._solve_u(r_e))
+
+    def _density_theta(self, theta: jnp.ndarray) -> jnp.ndarray:
+        """Mean Kriging density over cells (get_relative_density,
+        lattice_opti.py:1070-1115)."""
+        cr = self.param.cell_radii(theta)
+        return jnp.mean(jax.vmap(self._density_model.mean)(cr))
+
+    # ------------------------------------------------------------------
+    def objective(self, theta) -> float:
+        return float(self._value_and_grad(jnp.asarray(theta))[0])
+
+    def gradient(self, theta) -> np.ndarray:
+        return np.asarray(self._value_and_grad(jnp.asarray(theta))[1])
+
+    def density(self, theta) -> float:
+        return float(self._density_vg(jnp.asarray(theta))[0])
+
+    def _record(self, theta, obj):
+        rho = self.density(theta) if self._density_vg is not None else None
+        self.history.append({
+            "iteration": len(self.history),
+            "objective": float(obj),
+            "relative_density": rho,
+            "parameters": np.asarray(theta).tolist(),
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        })
+
+    # ------------------------------------------------------------------
+    def optimize_slsqp(self, max_iterations: int = 20,
+                       ftol: float = 1e-9) -> OptimizationResult:
+        from scipy.optimize import Bounds, NonlinearConstraint, minimize
+
+        vg = self._value_and_grad
+
+        def fun(x):
+            v, g = vg(jnp.asarray(x))
+            return float(v), np.asarray(g, dtype=float)
+
+        cons = []
+        if self._density_vg is not None:
+            spec = self.constraints["relative_density"]
+            target = spec["value"]
+            mode = spec.get("mode", "upper")
+            tol_band = spec.get("tolerance", 0.0)
+            lb, ub = {"upper": (-np.inf, 0.0), "lower": (0.0, np.inf),
+                      "eq": (0.0, 0.0), "band": (-tol_band, tol_band)}[mode]
+
+            def cfun(x):
+                return float(self._density_vg(jnp.asarray(x))[0]) - target
+
+            def cjac(x):
+                return np.asarray(self._density_vg(jnp.asarray(x))[1], dtype=float)
+
+            cons.append(NonlinearConstraint(cfun, lb, ub, jac=cjac))
+
+        res = minimize(
+            fun, np.asarray(self.param.x0, dtype=float), jac=True,
+            method="SLSQP",
+            bounds=Bounds(self.param.lower, self.param.upper),
+            constraints=cons,
+            callback=lambda x: self._record(x, fun(x)[0]),
+            options={"maxiter": max_iterations, "ftol": ftol},
+        )
+        theta = res.x
+        return OptimizationResult(
+            theta=theta, radii=np.asarray(self.param.cell_radii(jnp.asarray(theta))),
+            objective=float(res.fun),
+            density=self.density(theta) if self._density_vg is not None else float("nan"),
+            iterations=int(res.nit), success=bool(res.success),
+            history=self.history, message=str(res.message))
+
+    def optimize_projected(self, max_iterations: int = 100, step: float = None,
+                           tol: float = 1e-8) -> OptimizationResult:
+        """Projected gradient with box bounds + optional density equality
+        projection by bisection on a uniform shift."""
+        lo = jnp.asarray(self.param.lower)
+        hi = jnp.asarray(self.param.upper)
+        vg = self._value_and_grad
+        dvg = self._density_vg
+        spec = self.constraints.get("relative_density") if dvg is not None else None
+        target = spec["value"] if spec else None
+        mode = spec.get("mode", "upper") if spec else None
+
+        def project(x):
+            x = jnp.clip(x, lo, hi)
+            if spec is None:
+                return x
+            def rho(s):
+                return self._density_theta(jnp.clip(x + s, lo, hi)) - target
+            r0 = rho(0.0)
+            need = (r0 > 0) if mode in ("upper",) else \
+                   (jnp.abs(r0) > 0) if mode in ("eq", "band") else (r0 < 0)
+            # bisection on uniform shift s
+            a, b = -1.0, 1.0
+            for _ in range(40):
+                m = 0.5 * (a + b)
+                a, b = jax.lax.cond(rho(m) > 0, lambda: (a, m), lambda: (m, b))
+            s = jnp.where(need, 0.5 * (a + b), 0.0)
+            return jnp.clip(x + s, lo, hi)
+
+        x = jnp.asarray(self.param.x0)
+        x = project(x)
+        v, g = vg(x)
+        if step is None:
+            step = 0.1 / (jnp.linalg.norm(g) + 1e-12)
+        best_v = v
+        n_done = 0
+        for it in range(max_iterations):
+            x_new = project(x - step * g)
+            v_new, g_new = vg(x_new)
+            self._record(x_new, v_new)
+            n_done = it + 1
+            if v_new > v:           # backtrack
+                step = step * 0.5
+                if step < 1e-12:
+                    break
+                continue
+            if jnp.abs(v - v_new) <= tol * jnp.maximum(jnp.abs(v), 1e-30):
+                x, v, g = x_new, v_new, g_new
+                break
+            x, v, g = x_new, v_new, g_new
+            step = step * 1.1
+        return OptimizationResult(
+            theta=np.asarray(x), radii=np.asarray(self.param.cell_radii(x)),
+            objective=float(v),
+            density=self.density(x) if dvg is not None else float("nan"),
+            iterations=n_done, success=True, history=self.history)
+
+    # ------------------------------------------------------------------
+    def save_optimization_json(self, path, result: OptimizationResult) -> None:
+        """Persist the run like save_optimization_json (lattice_opti.py:1730)."""
+        payload = {
+            "objective_type": self.objective_type,
+            "objective_function": self.objective_function,
+            "parameterization": self.param.kind,
+            "n_parameters": self.param.n_params,
+            "solution": {
+                "objective": result.objective,
+                "relative_density": result.density,
+                "parameters": np.asarray(result.theta).tolist(),
+                "iterations": result.iterations,
+                "success": result.success,
+            },
+            "history": result.history,
+        }
+        with open(path, "w") as fh:
+            json.dump(payload, fh, indent=2)

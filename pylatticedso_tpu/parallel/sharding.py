@@ -1,0 +1,169 @@
+"""Multi-chip SPMD execution of the lattice operator.
+
+The reference has no distribution path at all (MPI is always COMM_SELF,
+utils_simulation.py:39-103); here scale-out is native: a
+``jax.sharding.Mesh`` with
+
+* axis ``"shard"`` — elements (edges) partitioned across devices; the
+  stiffness action computes each shard's scatter contribution locally and
+  combines with ``psum`` over ICI,
+* axis ``"dp"``   — independent design candidates (the vmapped population of
+  the optimization loop) data-parallel across devices.
+
+Nodal fields stay replicated inside one candidate (a 2M-DOF field is ~50 MB
+in f32 — cheap next to HBM), so a CG iteration needs exactly one all-reduce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..fem.elements import edge_forces, edge_geometry, edge_strains, section_stiffness
+
+__all__ = ["make_mesh", "pad_edges", "sharded_matvec", "sharded_diag",
+           "ShardedLattice"]
+
+
+def make_mesh(n_shard: Optional[int] = None, n_dp: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_shard is None:
+        n_shard = len(devices) // n_dp
+    dev = np.array(devices[: n_dp * n_shard]).reshape(n_dp, n_shard)
+    return Mesh(dev, ("dp", "shard"))
+
+
+def pad_edges(edges: np.ndarray, per_edge: Sequence[np.ndarray], n_shard: int):
+    """Pad the edge dimension to a multiple of n_shard with zero-stiffness
+    self-loops on node 0 (harmless contributions)."""
+    E = len(edges)
+    Epad = -(-E // n_shard) * n_shard
+    if Epad == E:
+        return edges, list(per_edge), E
+    pad = Epad - E
+    edges2 = np.concatenate([edges, np.zeros((pad, 2), dtype=edges.dtype)])
+    out = []
+    for arr in per_edge:
+        z = np.zeros((pad,) + arr.shape[1:], dtype=arr.dtype)
+        out.append(np.concatenate([arr, z]))
+    return edges2, out, E
+
+
+class ShardedLattice:
+    """Edge-sharded matrix-free operator over a device mesh.
+
+    ``radius`` enters as an argument (not baked in) so the same compiled
+    program serves the whole optimization trajectory and vmapped candidate
+    batches.
+    """
+
+    def __init__(self, mesh: Mesh, nodes: np.ndarray, edges: np.ndarray,
+                 E_mod: float, nu: float, valid_mask: Optional[np.ndarray] = None,
+                 dtype=jnp.float32):
+        self.mesh = mesh
+        n_shard = mesh.shape["shard"]
+        edges_p, (vm,), self.n_real = pad_edges(
+            edges, [np.ones(len(edges)) if valid_mask is None else valid_mask],
+            n_shard)
+        self.n_nodes = len(nodes)
+        self.E_mod, self.nu = E_mod, nu
+        self.dtype = dtype
+
+        shard_spec = NamedSharding(mesh, P(None, "shard"))
+        repl = NamedSharding(mesh, P())
+        # [n_shard-major layout]: reshape so axis 1 is the sharded chunk
+        self.edges = jax.device_put(jnp.asarray(edges_p.T, dtype=jnp.int32), shard_spec)
+        self.valid = jax.device_put(jnp.asarray(vm[None, :], dtype=dtype), shard_spec)
+        nodes_j = jnp.asarray(nodes, dtype=dtype)
+        p1 = jnp.take(nodes_j, jnp.asarray(edges_p[:, 0]), axis=0)
+        p2 = jnp.take(nodes_j, jnp.asarray(edges_p[:, 1]), axis=0)
+        d = p2 - p1
+        L = jnp.linalg.norm(d, axis=1)
+        L = jnp.where(L == 0, 1.0, L)
+        t = d / L[:, None]
+        ez = jnp.array([0.0, 0.0, 1.0], dtype=dtype)
+        ex = jnp.array([1.0, 0.0, 0.0], dtype=dtype)
+        ref = jnp.where((jnp.abs(t @ ez) > 0.99)[:, None], ex, ez)
+        a1 = jnp.cross(ref, t)
+        a1 = a1 / jnp.linalg.norm(a1, axis=1)[:, None]
+        a2 = jnp.cross(t, a1)
+        gspec = NamedSharding(mesh, P("shard"))
+        self.t = jax.device_put(t.astype(dtype), gspec)
+        self.a1 = jax.device_put(a1.astype(dtype), gspec)
+        self.a2 = jax.device_put(a2.astype(dtype), gspec)
+        self.L = jax.device_put(L.astype(dtype), gspec)
+
+    # ------------------------------------------------------------------
+    def section_D(self, radius: jnp.ndarray) -> jnp.ndarray:
+        """[Epad, 6] stiffness diagonal (zero on padding)."""
+        D = section_stiffness(radius, self.E_mod, self.nu).D
+        return D * self.valid[0][:, None]
+
+    def matvec(self, u: jnp.ndarray, D: jnp.ndarray) -> jnp.ndarray:
+        """K.u for replicated u [N,6]; edge work sharded, one psum."""
+        n1, n2 = self.edges[0], self.edges[1]
+        u1, th1 = u[n1, :3], u[n1, 3:]
+        u2, th2 = u[n2, :3], u[n2, 3:]
+        from ..fem.elements import EdgeGeometry
+        geom = EdgeGeometry(t=self.t, a1=self.a1, a2=self.a2, L=self.L)
+        eps = edge_strains(u1, th1, u2, th2, geom)
+        sig = D * eps
+        f_u1, f_m1, f_u2, f_m2 = edge_forces(sig, geom)
+        contrib = jnp.concatenate([
+            jnp.concatenate([f_u1, f_m1], axis=1),
+            jnp.concatenate([f_u2, f_m2], axis=1)], axis=0)
+        idx = jnp.concatenate([n1, n2])
+        return jax.ops.segment_sum(contrib, idx, num_segments=self.n_nodes)
+
+    def radius_padded(self, radius: np.ndarray) -> jnp.ndarray:
+        r = np.zeros(self.edges.shape[1])
+        r[: self.n_real] = radius
+        return jnp.asarray(r, dtype=self.dtype)
+
+    def _geom(self):
+        from ..fem.elements import EdgeGeometry
+        return EdgeGeometry(t=self.t, a1=self.a1, a2=self.a2, L=self.L)
+
+    def diagonal(self, D: jnp.ndarray) -> jnp.ndarray:
+        """diag(K) [N,6] from the factored per-edge diagonal."""
+        from ..fem.elements import edge_dof_diag
+        d = edge_dof_diag(self._geom(), D)            # [Epad, 12]
+        contrib = jnp.concatenate([d[:, :6], d[:, 6:]], axis=0)
+        idx = jnp.concatenate([self.edges[0], self.edges[1]])
+        return jax.ops.segment_sum(contrib, idx, num_segments=self.n_nodes)
+
+
+def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
+                         f_ext: np.ndarray, tol: float = 1e-6,
+                         maxiter: int = 4000) -> Callable:
+    """jit-compiled value_and_grad of compliance w.r.t. per-edge radii.
+
+    One call = assemble (implicit) + Jacobi-PCG solve + adjoint gradient
+    (free via self-adjointness through ``lax.custom_linear_solve``) — the
+    BASELINE "iteration".  Works on replicated [N,6] fields over the mesh;
+    radius may carry a leading vmap batch dim for design populations.
+    """
+    from ..fem.solve import linear_solve
+
+    free = jnp.asarray(free_mask, dtype=shl.dtype)
+    f = jnp.asarray(f_ext, dtype=shl.dtype)
+
+    def compliance(radius_padded):
+        D = shl.section_D(radius_padded)
+        diag = free * shl.diagonal(D) + (1.0 - free)
+        diag = jnp.where(diag == 0, 1.0, diag)
+
+        def A(u):
+            return free * shl.matvec(free * u, D) + (1.0 - free) * u
+
+        b = free * f
+        u = linear_solve(A, b, M=lambda r: r / diag, maxiter=maxiter, tol=tol)
+        return jnp.sum(f * u)
+
+    return jax.jit(jax.value_and_grad(compliance))
