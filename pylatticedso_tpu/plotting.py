@@ -1,0 +1,152 @@
+"""matplotlib visualization of lattices, results, and optimization runs.
+
+Covers the reference's LatticePlotting (plotting_lattice.py:21-746: 3D beam
+plots colored by radius/material/type, deformed shapes with x5
+magnification, BC markers, voxel mode, radius histograms) and
+OptimizationPlotter (plotting_lattice_optim.py:16-191: convergence curves
+with a density twin axis) as host-side functions over the array model.
+Import of matplotlib is deferred so headless pipelines never pay for it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+__all__ = ["visualize_lattice", "plot_radius_distribution",
+           "plot_convergence", "visualize_homogenization_surface"]
+
+DEFORM_MAGNIFICATION = 5.0  # point.py:76,131-141
+
+
+def _mpl():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def visualize_lattice(lattice, beam_color_type: str = "radii",
+                      deformed_form: bool = False, result=None,
+                      magnification: float = DEFORM_MAGNIFICATION,
+                      enable_boundary_conditions: bool = False, bc=None,
+                      voxel: bool = False, save_path=None, ax=None):
+    """3D line plot of the lattice (visualize_lattice parity)."""
+    plt = _mpl()
+    from mpl_toolkits.mplot3d.art3d import Line3DCollection
+
+    nodes = lattice.nodes.copy()
+    if deformed_form and result is not None:
+        nodes = nodes + magnification * np.asarray(result.u)[:, :3]
+
+    if ax is None:
+        fig = plt.figure(figsize=(8, 8))
+        ax = fig.add_subplot(projection="3d")
+    segs = np.stack([nodes[lattice.edges[:, 0]], nodes[lattice.edges[:, 1]]], axis=1)
+
+    if beam_color_type == "radii":
+        values = lattice.radius
+    elif beam_color_type == "material":
+        values = lattice.edge_mat
+    elif beam_color_type == "type":
+        values = lattice.edge_type
+    elif beam_color_type == "cell":
+        values = lattice.edge_cell
+    else:
+        values = np.zeros(lattice.num_edges)
+    values = np.asarray(values, dtype=float)
+    vmin, vmax = values.min(), values.max()
+    norm = (values - vmin) / (vmax - vmin) if vmax > vmin else np.zeros_like(values)
+    colors = plt.cm.viridis(norm)
+    ax.add_collection3d(Line3DCollection(segs, colors=colors, linewidths=1.5))
+
+    if voxel:
+        # cell bounding boxes as faint outlines
+        for o, s in zip(lattice.cell_origin, lattice.cell_size):
+            x0, y0, z0 = o; x1, y1, z1 = o + s
+            corners = np.array([[x0, y0, z0], [x1, y0, z0], [x1, y1, z0], [x0, y1, z0],
+                                [x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1]])
+            edges_idx = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7),
+                         (7, 4), (0, 4), (1, 5), (2, 6), (3, 7)]
+            box = np.stack([[corners[i], corners[j]] for i, j in edges_idx])
+            ax.add_collection3d(Line3DCollection(box, colors="gray",
+                                                 linewidths=0.3, alpha=0.3))
+
+    if enable_boundary_conditions and bc is not None:
+        fixed_nodes = np.nonzero(bc.fixed.any(axis=1))[0]
+        ax.scatter(*nodes[fixed_nodes].T, color="red", s=25, marker="s",
+                   label="fixed")
+        loaded = np.nonzero((bc.f_applied != 0).any(axis=1))[0]
+        if loaded.size:
+            ax.scatter(*nodes[loaded].T, color="blue", s=25, marker="^",
+                       label="force")
+        ax.legend()
+
+    b = lattice.get_lattice_boundary_box()
+    ax.set_xlim(b[0], b[1]); ax.set_ylim(b[2], b[3]); ax.set_zlim(b[4], b[5])
+    ax.set_box_aspect((b[1] - b[0], b[3] - b[2], max(b[5] - b[4], 1e-9)))
+    if save_path:
+        plt.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(ax.figure)
+    return ax
+
+
+def plot_radius_distribution(lattice, bins: int = 20, save_path=None):
+    """Histogram of beam radii (plot_radius_distribution parity)."""
+    plt = _mpl()
+    fig, ax = plt.subplots()
+    ax.hist(lattice.radius, bins=bins, edgecolor="k")
+    ax.set_xlabel("beam radius")
+    ax.set_ylabel("count")
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return ax
+
+
+def plot_convergence(history: Sequence[dict], save_path=None):
+    """Objective + density twin-axis convergence plot
+    (OptimizationPlotter parity, plotting_lattice_optim.py:116-167)."""
+    plt = _mpl()
+    its = [h["iteration"] for h in history]
+    obj = [h["objective"] for h in history]
+    fig, ax1 = plt.subplots()
+    ax1.plot(its, obj, "o-", color="tab:blue", label="objective")
+    ax1.set_xlabel("iteration")
+    ax1.set_ylabel("objective", color="tab:blue")
+    rho = [h.get("relative_density") for h in history]
+    if any(r is not None for r in rho):
+        ax2 = ax1.twinx()
+        ax2.plot(its, [r if r is not None else np.nan for r in rho], "s--",
+                 color="tab:red", label="relative density")
+        ax2.set_ylabel("relative density", color="tab:red")
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def visualize_homogenization_surface(C: np.ndarray, n_theta: int = 60,
+                                     n_phi: int = 120, save_path=None):
+    """Directional stiffness surface E(theta, phi)
+    (export_homogenization_surface_paraview / polar figure parity)."""
+    plt = _mpl()
+    from .fem.homogenization import directional_modulus
+
+    th = np.linspace(0, np.pi, n_theta)
+    ph = np.linspace(0, 2 * np.pi, n_phi)
+    TH, PH = np.meshgrid(th, ph, indexing="ij")
+    E = directional_modulus(np.asarray(C), TH, PH)
+    X = E * np.sin(TH) * np.cos(PH)
+    Y = E * np.sin(TH) * np.sin(PH)
+    Z = E * np.cos(TH)
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(projection="3d")
+    ax.plot_surface(X, Y, Z, facecolors=plt.cm.viridis((E - E.min()) /
+                    max(E.max() - E.min(), 1e-12)), linewidth=0)
+    ax.set_title("directional Young's modulus")
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
