@@ -17,7 +17,7 @@ import sys
 import time
 
 
-def main():
+def run(n: int):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -27,7 +27,6 @@ def main():
     from pylatticedso_tpu.parallel.sharding import (ShardedLattice, make_mesh,
                                                     make_compliance_step)
 
-    n = int(os.environ.get("BENCH_N", "50"))
     tol = float(os.environ.get("BENCH_TOL", "1e-6"))
     geom = os.environ.get("BENCH_GEOM", "Octet")
 
@@ -78,6 +77,19 @@ def main():
             "n_devices": len(jax.devices()),
         },
     }))
+
+
+def main():
+    sizes = [int(os.environ.get("BENCH_N", "50")), 30, 20]
+    for i, n in enumerate(sizes):
+        try:
+            run(n)
+            return
+        except Exception as e:  # device fault / OOM: retry smaller
+            print(f"# bench at N={n} failed ({type(e).__name__}: {e}); "
+                  f"{'retrying smaller' if i + 1 < len(sizes) else 'giving up'}",
+                  file=sys.stderr)
+    raise SystemExit(1)
 
 
 if __name__ == "__main__":

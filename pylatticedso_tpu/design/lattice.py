@@ -37,6 +37,7 @@ import numpy as np
 from ..catalog import get_beam_structure
 from ..config import LatticeConfig, load_config
 from ..gradients import gradient_factor_table, material_field
+from .. import native as _native
 from .tags import tag_points
 
 __all__ = ["Lattice", "build_lattice"]
@@ -281,7 +282,26 @@ def _active_cells(cfg: LatticeConfig):
             dim = np.array(blk[3:])
             inside = np.all((origin >= start) & (origin <= start + dim), axis=1)
             keep &= ~inside
-    return pos[keep], origin[keep], size[keep]
+    pos, origin, size = pos[keep], origin[keep], size[keep]
+
+    # symmetry: append mirrored duplicate cells across the requested plane,
+    # translating each cell box (o' = 2 ref - (o + s)) while keeping the
+    # template untransformed — exactly apply_symmetry (lattice.py:497-580)
+    if cfg.symmetries:
+        plane = (cfg.symmetries.get("sym_plane") or "").upper()
+        ref = np.asarray(cfg.symmetries.get("sym_point", (0.0, 0.0, 0.0)))
+        if plane not in {"XY", "XZ", "YZ", "X", "Y", "Z"}:
+            raise ValueError(
+                "Invalid symmetry plane. Choose from 'XY', 'XZ', 'YZ', 'X', 'Y', or 'Z'.")
+        mirror_axes = {"YZ": [0], "X": [0], "XZ": [1], "Y": [1],
+                       "XY": [2], "Z": [2]}[plane]
+        m_origin = origin.copy()
+        for ax in mirror_axes:
+            m_origin[:, ax] = 2 * ref[ax] - (origin[:, ax] + size[:, ax])
+        pos = np.concatenate([pos, pos])
+        origin = np.concatenate([origin, m_origin])
+        size = np.concatenate([size, size])
+    return pos, origin, size
 
 
 def _replay_rng(cfg: LatticeConfig, pos: np.ndarray, new_nodes_per_cell: np.ndarray,
@@ -407,41 +427,23 @@ def build_lattice(source: Union[str, dict, LatticeConfig], name: str = None,
 
     # templates per geometry
     templates = [get_beam_structure(g) for g in cfg.geom_types]
+    M = sum(len(t) for t in templates)
 
-    # world endpoints for every (cell, geom, template beam)
-    p1_parts, p2_parts, type_parts, mat_parts, cell_parts = [], [], [], [], []
-    for g, tpl in enumerate(templates):
-        m = len(tpl)
-        f1, f2 = tpl[:, :3], tpl[:, 3:]
-        # [C, m, 3]
-        P1 = origin[:, None, :] + f1[None, :, :] * size[:, None, :]
-        P2 = origin[:, None, :] + f2[None, :, :] * size[:, None, :]
-        p1_parts.append(P1.reshape(-1, 3))
-        p2_parts.append(P2.reshape(-1, 3))
-        type_parts.append(np.full(C * m, g, dtype=np.int32))
-        mat_parts.append(np.repeat(cell_mat.astype(np.int32), m))
-        cell_parts.append(np.repeat(np.arange(C, dtype=np.int32), m))
+    # world endpoints for every (cell, geom, template beam) in the
+    # reference's creation order (cell outer, geometry inner), emitted with
+    # quantized int keys by the native fused kernel
+    # (pylatticedso_tpu/native/dedup.cpp::replicate_cells_multi)
+    pts, int_keys = _native.replicate_cells(templates, origin, size)
+    typ_pattern = np.concatenate([np.full(len(t), g, dtype=np.int32)
+                                  for g, t in enumerate(templates)])
+    typ = np.tile(typ_pattern, C)
+    cel = np.repeat(np.arange(C, dtype=np.int32), M)
+    mat = np.repeat(cell_mat.astype(np.int32), M)
 
-    # Creation order must mirror the reference's loops (cell outer, geometry
-    # inner) for first-wins dedup: sort the concatenation by (cell, geom).
-    P1 = np.concatenate(p1_parts)
-    P2 = np.concatenate(p2_parts)
-    typ = np.concatenate(type_parts)
-    mat = np.concatenate(mat_parts)
-    cel = np.concatenate(cell_parts)
-    order = np.lexsort((typ, cel))
-    P1, P2, typ, mat, cel = P1[order], P2[order], typ[order], mat[order], cel[order]
-
-    # node dedup on 9-digit-rounded coords, first occurrence keeps its value
-    pts = np.stack([P1, P2], axis=1).reshape(-1, 3)   # interleaved p1,p2 creation order
-    keys = _round_key(pts)
-    uniq_keys, first_idx, inverse = np.unique(keys, axis=0, return_index=True, return_inverse=True)
-    # re-rank unique nodes by first creation order (stable against np.unique's sort)
-    first_sorted = np.sort(first_idx)
-    creation_rank = np.argsort(first_idx, kind="stable")
-    rank_of_sorted = np.empty(len(first_idx), dtype=np.int64)
-    rank_of_sorted[creation_rank] = np.arange(len(first_idx))
-    node_ids_flat = rank_of_sorted[inverse]
+    # node dedup on 9-digit-rounded coords, first occurrence keeps its value.
+    # np.round(x, 9) == round(x * 1e9) / 1e9, so the integer keys give the
+    # same equivalence classes — hashed in O(N) natively.
+    first_sorted, node_ids_flat = _native.dedup_rows3(int_keys)
     nodes = pts[first_sorted]  # coords of first occurrences, creation order
 
     # replay the reference RNG: radii randomness interleaved with per-new-Point
@@ -457,13 +459,7 @@ def build_lattice(source: Union[str, dict, LatticeConfig], name: str = None,
     gen_edges = node_ids_flat.reshape(-1, 2).astype(np.int32)
 
     # edge dedup: unordered pair, first occurrence keeps radius/type/material
-    pair_key = np.sort(gen_edges, axis=1)
-    _, e_first, e_inverse = np.unique(pair_key, axis=0, return_index=True, return_inverse=True)
-    e_rank = np.argsort(e_first, kind="stable")
-    e_rank_of_sorted = np.empty(len(e_first), dtype=np.int64)
-    e_rank_of_sorted[e_rank] = np.arange(len(e_first))
-    edge_of_gen = e_rank_of_sorted[e_inverse]          # generated beam -> unique edge id
-    sel = np.sort(e_first)
+    sel, edge_of_gen = _native.dedup_pairs(gen_edges[:, 0], gen_edges[:, 1])
     edges = gen_edges[sel]
     radius = rad[sel]
     etype = typ[sel]
@@ -471,13 +467,16 @@ def build_lattice(source: Union[str, dict, LatticeConfig], name: str = None,
     ecell = cel[sel]
 
     # cell membership (before splitting; splitting preserves cell sets)
-    ce_pairs = np.unique(np.stack([cel, edge_of_gen], axis=1), axis=0)
+    ce_first, _ = _native.dedup_pairs(cel.astype(np.int64), edge_of_gen,
+                                      ordered=True)
+    ce_pairs = np.stack([cel[ce_first], edge_of_gen[ce_first]], axis=1)
 
     # per-cell node lists from member edges
-    cn_pairs = np.unique(np.concatenate([
-        np.stack([ce_pairs[:, 0], edges[ce_pairs[:, 1], 0]], axis=1),
-        np.stack([ce_pairs[:, 0], edges[ce_pairs[:, 1], 1]], axis=1),
-    ]), axis=0)
+    cn_all_c = np.concatenate([ce_pairs[:, 0], ce_pairs[:, 0]])
+    cn_all_n = np.concatenate([edges[ce_pairs[:, 1], 0], edges[ce_pairs[:, 1], 1]])
+    cn_first, _ = _native.dedup_pairs(cn_all_c, cn_all_n.astype(np.int64),
+                                      ordered=True)
+    cn_pairs = np.stack([cn_all_c[cn_first], cn_all_n[cn_first]], axis=1)
 
     # hybrid collision splitting
     if cfg.n_geom > 1:
@@ -495,7 +494,7 @@ def build_lattice(source: Union[str, dict, LatticeConfig], name: str = None,
     # ------------------------------------------------------------------
     # deterministic final indexing (lattice.py:665-698)
     # ------------------------------------------------------------------
-    node_order = np.lexsort((nodes[:, 2], nodes[:, 1], nodes[:, 0]))
+    node_order = _native.argsort_rows(nodes)
     node_newid = np.empty(len(nodes), dtype=np.int64)
     node_newid[node_order] = np.arange(len(nodes))
     nodes = nodes[node_order]
@@ -507,7 +506,8 @@ def build_lattice(source: Union[str, dict, LatticeConfig], name: str = None,
     edges = np.where(swap[:, None], edges[:, ::-1], edges)
     c1, c2 = nodes[edges[:, 0]], nodes[edges[:, 1]]
 
-    edge_order = np.lexsort((radius, c2[:, 2], c2[:, 1], c2[:, 0], c1[:, 2], c1[:, 1], c1[:, 0]))
+    edge_order = _native.argsort_rows(
+        np.concatenate([c1, c2, radius[:, None]], axis=1))
     edge_newid = np.empty(len(edges), dtype=np.int64)
     edge_newid[edge_order] = np.arange(len(edges))
     edges = edges[edge_order]
