@@ -1,0 +1,120 @@
+"""Surrogate-DDM design optimization — the reference's headline workflow.
+
+The reference's fast path (26 min vs 8 h, optimization_methods.md:19,62)
+is: per-cell Schur surrogates (greedy RB + RBF alpha(mu)), analytic
+dS/dr = B dalpha/dr, interface CG, adjoint CG, SLSQP
+(lattice_opti.py:559-901, lattice_sim.py:921-1082).  Here the whole chain is
+one differentiable jnp program: theta -> cell radii -> RBF alpha -> batched
+S reconstruction (one GEMM) -> masked interface solve via
+``lax.custom_linear_solve`` -> objective; ``jax.grad`` performs the adjoint
+solve and the dS/dr chain automatically, and the SLSQP/projected drivers of
+``OptimizationProblem`` are reused unchanged.
+"""
+
+from __future__ import annotations
+
+from itertools import product
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..design.lattice import Lattice
+from ..fem.solve import linear_solve
+from ..ddm.schur import discretize_cell, schur_complement
+from ..ddm.solver import build_ddm_system
+from ..ddm.surrogate import SchurSurrogate, reduce_basis_greedy
+from .optimizer import OptimizationProblem
+
+__all__ = ["DDMOptimizationProblem", "build_schur_surrogate"]
+
+
+def build_schur_surrogate(lattice: Lattice, material, min_radius: float,
+                          max_radius: float, step: float = 0.01,
+                          tol_greedy: float = 1e-6,
+                          target_h: Optional[float] = None) -> SchurSurrogate:
+    """Offline RB training over the radius grid (no penalization, so one
+    discretization serves every sample — construct_schur_complement_dataset
+    parity)."""
+    disc = discretize_cell(lattice, 0, penalization=False, target_h=target_h,
+                           share_weights=True)
+    grid = np.round(np.arange(min_radius, max_radius + step / 2, step), 6)
+    schur_dict = {}
+    for combo in product(grid, repeat=lattice.config.n_geom):
+        if sum(combo) <= 0.003:
+            continue
+        S = np.asarray(schur_complement(disc, np.array(combo),
+                                        material.young_modulus,
+                                        material.poisson_ratio))
+        schur_dict[combo] = S
+    B, A, L = reduce_basis_greedy(schur_dict, tol_greedy)
+    return SchurSurrogate(basis=B, alpha=A, samples=L, kind="RBF")
+
+
+class DDMOptimizationProblem(OptimizationProblem):
+    """OptimizationProblem whose equilibrium solve runs on the surrogate-DDM
+    interface system instead of the full matrix-free operator."""
+
+    def __init__(self, lattice: Lattice, surrogate: Optional[SchurSurrogate] = None,
+                 tol_greedy: float = 1e-6, grid_step: float = 0.01, **kwargs):
+        super().__init__(lattice, **kwargs)
+        self._surrogate = surrogate or build_schur_surrogate(
+            lattice, self.material, self.param.min_radius,
+            self.param.max_radius, step=grid_step, tol_greedy=tol_greedy)
+
+        # interface topology from the exact DDM assembly (radius-independent
+        # without penalization)
+        sys_ = build_ddm_system(lattice, self.material, self.bc,
+                                penalization=False)
+        self._cell_bnodes = sys_.cell_bnodes            # [C, nb]
+        self._nb = sys_.nb
+        self._m = sys_.m
+        self._iface_free = sys_.free                    # [N,6]
+        self._iface_f = sys_.f_applied
+        self._iface_u_imp = sys_.u_imposed
+        self._n_nodes = sys_.n_nodes
+        self._basis = jnp.asarray(self._surrogate.basis)
+        # rebuild jitted gradients against the DDM solve
+        self._value_and_grad = jax.jit(jax.value_and_grad(self._objective_theta))
+
+    # ------------------------------------------------------------------
+    def _cell_schur_batch(self, cell_radii: jnp.ndarray) -> jnp.ndarray:
+        """[C, m, m] Schur blocks from the RBF surrogate — one GEMM."""
+        alpha = jax.vmap(self._surrogate._rbf.evaluate)(cell_radii)  # [C, m_rb]
+        vec = alpha @ self._basis.T                                  # [C, m*m]
+        n = self._m
+        S = jnp.transpose(vec.reshape(-1, n, n), (0, 2, 1))          # F-order unravel
+        return 0.5 * (S + jnp.transpose(S, (0, 2, 1)))               # SPD hygiene
+
+    def _solve_u(self, radius_e=None, *, theta=None):
+        raise RuntimeError("use _objective_theta")
+
+    def _objective_theta(self, theta: jnp.ndarray) -> jnp.ndarray:
+        cr = self.param.cell_radii(theta)
+        S = self._cell_schur_batch(cr)
+        free, f, u_imp = self._iface_free, self._iface_f, self._iface_u_imp
+        bn = self._cell_bnodes
+        N, m = self._n_nodes, self._m
+
+        def K(u):
+            Ub = u[bn].reshape(-1, m)
+            R = jnp.einsum("cij,cj->ci", S, Ub)
+            return jax.ops.segment_sum(R.reshape(-1, 6), bn.reshape(-1),
+                                       num_segments=N)
+
+        def A(u):
+            return free * K(free * u) + (1.0 - free) * u
+
+        # node-diagonal Jacobi from the assembled S blocks
+        diag_blocks = jnp.einsum("cii->ci", S).reshape(-1, self._nb, 6)
+        diag = jax.ops.segment_sum(diag_blocks.reshape(-1, 6), bn.reshape(-1),
+                                   num_segments=N)
+        diag = free * diag + (1.0 - free)
+        diag = jnp.where(diag == 0, 1.0, diag)
+
+        b = free * (f - K(u_imp)) + (1.0 - free) * u_imp
+        u = linear_solve(A, b, M=lambda r: r / diag,
+                         maxiter=self.cg_maxiter, tol=self.cg_tol)
+        u = free * u + (1.0 - free) * u_imp
+        return self._objective_u(u)

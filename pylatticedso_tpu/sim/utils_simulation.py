@@ -23,9 +23,18 @@ __all__ = ["solve_fem_lattice", "solve_fem_cell", "get_homogenized_properties",
            "force_displacement_curve"]
 
 
-def solve_fem_lattice(lattice: Lattice, **kwargs) -> FEMResult:
-    """Full-scale FEM solve (solve_FEM_FenicsX parity)."""
-    return solve_fem(lattice, **kwargs)
+def solve_fem_lattice(lattice: Lattice, subdivide_h: Optional[float] = "auto",
+                      **kwargs) -> FEMResult:
+    """Full-scale FEM solve (solve_FEM_FenicsX parity).
+
+    Defaults to the reference's gmsh discretization (element length
+    0.05 * cell_size_x, lattice_generation.py:50-60) — a single linear
+    Timoshenko element per strut is far too stiff in bending, so parity
+    with reference displacement fields requires the subdivision.
+    """
+    if subdivide_h == "auto":
+        subdivide_h = 0.05 * lattice.config.cell_size[0]
+    return solve_fem(lattice, subdivide_h=subdivide_h, **kwargs)
 
 
 def solve_fem_cell(lattice: Lattice, cell_index: int,

@@ -1,0 +1,77 @@
+"""Surrogate-DDM optimization: gradient correctness and SLSQP run."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pylatticedso_tpu import build_lattice
+from pylatticedso_tpu.opti.ddm_optimizer import (DDMOptimizationProblem,
+                                                 build_schur_surrogate)
+from pylatticedso_tpu.materials import MatProperties
+
+
+def cantilever(nx=2):
+    return build_lattice({
+        "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                     "number_of_cells": {"x": nx, "y": 1, "z": 1},
+                     "radii": [0.05], "geom_types": ["BCC"]},
+        "simulation_parameters": {"enable": True, "material": "VeroClear"},
+        "boundary_conditions": {
+            "Displacement": {"Fixed": {"Surface": ["Xmin"],
+                                       "DOF": ["X", "Y", "Z", "RX", "RY", "RZ"],
+                                       "Value": [0, 0, 0, 0, 0, 0]}},
+            "Force": {"Load": {"Surface": ["Xmax"], "DOF": ["Z"],
+                               "Value": [-0.1]}}}})
+
+
+@pytest.fixture(scope="module")
+def ddm_problem():
+    lat = cantilever(2)
+    # coarse grid + coarse per-cell mesh keeps the offline stage quick
+    sur = build_schur_surrogate(lat, MatProperties("VeroClear"), 0.02, 0.1,
+                                step=0.02, target_h=0.3)
+    return DDMOptimizationProblem(lat, surrogate=sur,
+                                  opt_params={"type": "unit_cell"},
+                                  constraints={}, cg_tol=1e-11,
+                                  cg_maxiter=2000, min_radius=0.02)
+
+
+def test_ddm_gradient_matches_fd(ddm_problem):
+    prob = ddm_problem
+    x0 = prob.param.x0
+    g = prob.gradient(x0)
+    h = 1e-5
+    for k in range(prob.param.n_params):
+        e = np.zeros_like(x0); e[k] = h
+        fd = (prob.objective(x0 + e) - prob.objective(x0 - e)) / (2 * h)
+        np.testing.assert_allclose(g[k], fd, rtol=1e-4)
+
+
+def test_ddm_slsqp_reduces_compliance(ddm_problem):
+    prob = ddm_problem
+    v0 = prob.objective(prob.param.x0)
+    res = prob.optimize_slsqp(max_iterations=8)
+    assert res.objective < v0
+    # root cell at least as thick as the tip cell after optimization
+    assert res.radii[0, 0] >= res.radii[1, 0] - 1e-9
+
+
+def test_ddm_solve_matches_exact_schur(ddm_problem):
+    """Surrogate interface solve close to exact-Schur DDM at a sample point."""
+    from pylatticedso_tpu.ddm.solver import solve_ddm
+    prob = ddm_problem
+    lat = prob.lattice
+    exact = solve_ddm(lat, penalization=False, target_h=0.3, tol=1e-11)
+    v = prob.objective(prob.param.x0)  # theta -> r = 0.05 everywhere (on-grid?)
+    # 0.05 is not on the 0.02-step grid from 0.02 -> {0.02,0.04,...}; use the
+    # compliance at an on-grid radius instead
+    theta_on = np.full_like(prob.param.x0,
+                            (0.06 - prob.param.min_radius) /
+                            (prob.param.max_radius - prob.param.min_radius))
+    v_on = prob.objective(theta_on)
+    # recompute exact at r=0.06
+    lat2 = cantilever(2)
+    lat2.radius[:] = 0.06
+    lat2.cell_radii[:] = 0.06
+    exact2 = solve_ddm(lat2, penalization=False, target_h=0.3, tol=1e-11)
+    np.testing.assert_allclose(v_on, exact2.compliance, rtol=1e-6)
