@@ -80,7 +80,7 @@ def run(n: int):
 
 
 def main():
-    sizes = [int(os.environ.get("BENCH_N", "50")), 30, 20]
+    sizes = [int(os.environ.get("BENCH_N", "50")), 30, 20, 10]
     for i, n in enumerate(sizes):
         try:
             run(n)

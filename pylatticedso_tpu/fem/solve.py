@@ -29,6 +29,7 @@ class PCGResult(NamedTuple):
     iterations: jnp.ndarray
     residual_norm: jnp.ndarray
     converged: jnp.ndarray
+    residual_history: Optional[jnp.ndarray] = None  # [maxiter] padded with -1
 
 
 def _dot(a, b):
@@ -43,13 +44,15 @@ def pcg(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
         x0: Optional[jnp.ndarray] = None, maxiter: int = 1000,
         tol: float = 1e-10, mintol: float = 0.0,
         alpha_max: Optional[float] = None,
-        restart_every: int = 0) -> PCGResult:
+        restart_every: int = 0, track_history: bool = False) -> PCGResult:
     """Matrix-free PCG over arrays of any shape.
 
     Args mirror the reference solver; ``alpha_max``/``restart_every``/
     ``mintol`` default OFF (0 / None) since the standard CG is strictly
     better for SPD systems — pass the reference's values (0.1 / 1000 / 1e-5)
-    for behavioral parity runs.
+    for behavioral parity runs.  ``track_history`` records per-iteration
+    residual norms (the reference's cg_progress observability,
+    lattice_sim.py:1256-1304); unused slots hold -1.
     """
     if M is None:
         M = lambda r: r
@@ -61,13 +64,13 @@ def pcg(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
     norm_b = _norm(b)
     # a zero rhs must return x = 0 without iterating
     threshold = tol * jnp.maximum(norm_b, jnp.finfo(b.dtype).tiny)
+    hist = jnp.full(maxiter, -1.0, dtype=r.dtype) if track_history else None
 
     def cond(state):
-        x, r, z, p, rz, k, done = state
-        return jnp.logical_and(k < maxiter, jnp.logical_not(done))
+        return jnp.logical_and(state[5] < maxiter, jnp.logical_not(state[6]))
 
     def body(state):
-        x, r, z, p, rz, k, _ = state
+        x, r, z, p, rz, k, _, hist = state
         Ap = A(p)
         pAp = _dot(p, Ap)
         alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
@@ -76,6 +79,8 @@ def pcg(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
         x = x + alpha * p
         r = r - alpha * Ap
         res = _norm(r)
+        if hist is not None:
+            hist = hist.at[k].set(res)
         done = res <= threshold
         if mintol > 0:
             done = jnp.logical_or(done, _norm(p) < mintol * (_norm(x) + 1e-12))
@@ -85,12 +90,48 @@ def pcg(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
         p = z + beta * p
         if restart_every > 0:
             p = jnp.where((k + 1) % restart_every == 0, z, p)
-        return (x, r, z, p, rz_new, k + 1, done)
+        return (x, r, z, p, rz_new, k + 1, done, hist)
 
     init_done = _norm(r) <= threshold
-    state = jax.lax.while_loop(cond, body, (x, r, z, p, rz, jnp.asarray(0), init_done))
-    x, r, z, p, rz, k, done = state
-    return PCGResult(x=x, iterations=k, residual_norm=_norm(r), converged=done)
+    state = jax.lax.while_loop(cond, body,
+                               (x, r, z, p, rz, jnp.asarray(0), init_done, hist))
+    x, r, z, p, rz, k, done, hist = state
+    return PCGResult(x=x, iterations=k, residual_norm=_norm(r), converged=done,
+                     residual_history=hist)
+
+
+def pcg_refined(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
+                maxiter: int = 1000, tol: float = 1e-6,
+                refinements: int = 2,
+                residual_fn: Optional[Callable] = None) -> PCGResult:
+    """Iterative-refinement PCG for low-precision arithmetic.
+
+    TPUs have no native float64; a single f32 CG stalls at the matvec
+    rounding floor (~kappa * eps_f32 relative error).  Classical refinement
+    — solve loosely, recompute the residual, solve the correction — composes
+    cheap inner solves into full attainable accuracy.  To go BELOW the f32
+    floor (the 1e-8 target of SURVEY.md §8), pass ``residual_fn(x) -> b - A x``
+    evaluated in higher precision (XLA-emulated f64 on TPU, or a double-word
+    compensated matvec); refinement then contracts the true error each pass.
+    """
+    out = pcg(A, b, M=M, maxiter=maxiter, tol=tol)
+    iters = out.iterations
+    # accumulate the solution in the residual precision (f64 when a
+    # high-precision residual_fn is given) — a f32-stored solution cannot
+    # express relative errors below ~6e-8 regardless of the residual quality
+    hi = residual_fn(out.x).dtype if residual_fn is not None else b.dtype
+    x = out.x.astype(hi)
+    for _ in range(refinements):
+        r = residual_fn(x) if residual_fn is not None else b - A(x)
+        corr = pcg(A, r.astype(b.dtype), M=M, maxiter=maxiter, tol=tol)
+        x = x + corr.x.astype(hi)
+        iters = iters + corr.iterations
+    r = residual_fn(x) if residual_fn is not None else b - A(x)
+    res = jnp.sqrt(jnp.vdot(r.reshape(-1), r.reshape(-1)).real)
+    nb = jnp.sqrt(jnp.vdot(b.reshape(-1), b.reshape(-1)).real)
+    return PCGResult(x=x, iterations=iters,
+                     residual_norm=res.astype(b.dtype),
+                     converged=res <= tol * nb)
 
 
 def linear_solve(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
