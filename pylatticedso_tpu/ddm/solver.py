@@ -125,6 +125,12 @@ class DDMSystem:
             + (1.0 - self.free) * self.u_imposed
 
     def preconditioner(self, kind: str = "block_jacobi") -> Callable:
+        # the reference's config names map onto the assembled-block scheme:
+        # "mean"/"nearest_reference" approximate per-cell Schur blocks before
+        # assembling B^T S B (lattice_sim.py:1312-1415); our node-block
+        # Jacobi assembles the exact blocks, strictly tighter than both
+        if kind in ("mean", "nearest_reference", "exact", "LU", "ILU"):
+            kind = "block_jacobi"
         if kind in (None, "none"):
             return lambda r: r
         if kind == "jacobi":
@@ -243,15 +249,21 @@ def build_ddm_system(lattice: Lattice, material: Optional[MatProperties] = None,
 
 def solve_ddm(lattice: Lattice, material: Optional[MatProperties] = None,
               bc: Optional[BCArrays] = None, tol: float = 1e-10,
-              maxiter: Optional[int] = None, preconditioner: str = "block_jacobi",
+              maxiter: Optional[int] = None,
+              preconditioner: Optional[str] = None,
               system: Optional[DDMSystem] = None, **kwargs) -> DDMResult:
     """Solve interface equilibrium with PCG (solve_DDM parity,
     lattice_sim.py:1111-1176)."""
     bc = bc or apply_boundary_conditions(lattice)
     sys_ = system or build_ddm_system(lattice, material, bc, **kwargs)
+    ddm_cfg = ((lattice.config.simulation or {}).get("DDM", {}) or {})
     if maxiter is None:
-        maxiter = int(((lattice.config.simulation or {}).get("DDM", {})
-                       or {}).get("max_iterations", 10000))
+        maxiter = int(ddm_cfg.get("max_iterations", 10000))
+    if preconditioner is None:
+        if ddm_cfg.get("enable_preconditioner", True):
+            preconditioner = ddm_cfg.get("preconditioner_type") or "block_jacobi"
+        else:
+            preconditioner = "none"
     A = sys_.masked()
     b = sys_.rhs()
     M = sys_.preconditioner(preconditioner)

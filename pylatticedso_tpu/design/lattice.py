@@ -240,6 +240,48 @@ class Lattice:
     # ------------------------------------------------------------------
     # misc
     # ------------------------------------------------------------------
+    def get_cell_occupancy_matrix(self) -> np.ndarray:
+        """[nx, ny, nz] grid of cell indices (-1 where erased/trimmed) —
+        get_cell_occupancy_matrix parity (lattice.py:1003-1021)."""
+        nx, ny, nz = self.config.num_cells
+        occ = -np.ones((nx, ny, nz), dtype=np.int64)
+        for c, (i, j, k) in enumerate(self.cell_pos):
+            occ[i, j, k] = c
+        return occ
+
+    def are_cells_identical(self) -> bool:
+        """True when all cells share size and per-geometry radii
+        (are_cells_identical diagnostic, lattice.py:1219-1272)."""
+        return (np.allclose(self.cell_size, self.cell_size[0]) and
+                np.allclose(self.cell_radii, self.cell_radii[0]))
+
+    def find_minimum_beam_length(self) -> float:
+        """Shortest beam above the reference's 1e-4 noise floor
+        (lattice.py:955-973)."""
+        L = self.edge_lengths
+        valid = L > 0.0001
+        return float(L[valid].min()) if valid.any() else float("inf")
+
+    def node_energies(self, u: np.ndarray) -> np.ndarray:
+        """Per-node strain energy: half of each incident beam's energy
+        attributed to each endpoint (calculate_point_energy parity,
+        point.py:398)."""
+        import jax.numpy as jnp
+        from ..fem.operator import build_operator
+        from ..materials import MatProperties
+        mat = MatProperties(self.config.material_name())
+        op = build_operator(self.nodes, self.edges, self.radius,
+                            mat.young_modulus, mat.poisson_ratio)
+        uj = jnp.asarray(u, dtype=op.geom.L.dtype)
+        n1, n2 = op.edges[:, 0], op.edges[:, 1]
+        from ..fem.elements import edge_strains
+        eps = edge_strains(uj[n1, :3], uj[n1, 3:], uj[n2, :3], uj[n2, 3:], op.geom)
+        e_edge = 0.5 * jnp.sum(op.geom.L[:, None] * op.D * eps**2, axis=1)
+        half = jnp.concatenate([0.5 * e_edge, 0.5 * e_edge])
+        idx = jnp.concatenate([n1, n2])
+        import jax
+        return np.asarray(jax.ops.segment_sum(half, idx, num_segments=self.num_nodes))
+
     def print_statistics_lattice(self) -> None:
         print("Lattice name: ", self.name)
         print("Number of cells: ", self.num_cells)
@@ -408,6 +450,10 @@ def _split_hybrid_collisions(nodes, edges, radius, etype, emat, ecell,
     return nodes, edges[sel], radius[sel], etype[sel], emat[sel], ecell[sel]
 
 
+from ..utils.timing import timing
+
+
+@timing.timeit(category="design")
 def build_lattice(source: Union[str, dict, LatticeConfig], name: str = None,
                   mesh_trimmer=None, verbose: int = 0) -> Lattice:
     """Build the full lattice array set from a config."""

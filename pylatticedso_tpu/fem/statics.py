@@ -96,6 +96,10 @@ def make_problem(lattice: Lattice, material: Optional[MatProperties] = None,
                          bc, n_original_nodes=lattice.num_nodes, dtype=dtype)
 
 
+from ..utils.timing import timing
+
+
+@timing.timeit(category="simulation")
 def solve_fem(lattice: Lattice, material: Optional[MatProperties] = None,
               bc: Optional[BCArrays] = None, subdivide_h: Optional[float] = None,
               tol: float = 1e-12, maxiter: int = 20000,

@@ -137,9 +137,17 @@ def save_json_to_grasshopper(lattice, path, multiple_parts: int = 1) -> list:
 
 
 def write_stl_cylinders(path, lattice, n_sides: int = 12,
-                        radius_scale: float = 1.0) -> None:
+                        radius_scale: float = 1.0,
+                        roughness: float = 0.0, roughness_seed: int = 0,
+                        n_axial: int = 1) -> None:
     """Binary STL of every beam as an open cylinder surface
-    (export_vizualisation_3D parity, export_simulation_results.py:331)."""
+    (export_vizualisation_3D parity, export_simulation_results.py:331).
+
+    ``roughness`` > 0 perturbs the surface radially with Gaussian noise of
+    that standard deviation (in radius units) on an ``n_axial``-segment
+    tube — the array-based stand-in for the reference's optional Pyrough
+    rough-surface STL generator (lattice.py:1966-2143)."""
+    rng = np.random.default_rng(roughness_seed)
     tris = []
     for (a, b), r in zip(lattice.edges, lattice.radius * radius_scale):
         p1, p2 = lattice.nodes[a], lattice.nodes[b]
@@ -153,12 +161,19 @@ def write_stl_cylinders(path, lattice, n_sides: int = 12,
         v = np.cross(t, u)
         ang = 2 * np.pi * np.arange(n_sides) / n_sides
         ring = np.cos(ang)[:, None] * u + np.sin(ang)[:, None] * v
-        lo = p1 + r * ring
-        hi = p2 + r * ring
-        for i in range(n_sides):
-            j = (i + 1) % n_sides
-            tris.append((lo[i], lo[j], hi[i]))
-            tris.append((hi[i], lo[j], hi[j]))
+        n_seg = max(1, int(n_axial))
+        stations = [p1 + (p2 - p1) * (k / n_seg) for k in range(n_seg + 1)]
+        rings = []
+        for p in stations:
+            rr = r
+            if roughness > 0:
+                rr = r * (1.0 + roughness * rng.standard_normal(n_sides))[:, None]
+            rings.append(p + rr * ring)
+        for lo, hi in zip(rings[:-1], rings[1:]):
+            for i in range(n_sides):
+                j = (i + 1) % n_sides
+                tris.append((lo[i], lo[j], hi[i]))
+                tris.append((hi[i], lo[j], hi[j]))
     tris = np.asarray(tris, dtype=np.float32)
     n = len(tris)
     with open(path, "wb") as fh:
