@@ -205,15 +205,25 @@ class OptimizationProblem:
         })
 
     # ------------------------------------------------------------------
-    def optimize_slsqp(self, max_iterations: int = 20,
-                       ftol: float = 1e-9) -> OptimizationResult:
+    def optimize_slsqp(self, max_iterations: int = 20, ftol: float = 1e-9,
+                       normalize_objective: bool = True) -> OptimizationResult:
+        """SLSQP driver.  ``normalize_objective`` divides by the first
+        objective value (normalize_objective, lattice_opti.py:1333-1342) so
+        ftol acts on relative improvements."""
         from scipy.optimize import Bounds, NonlinearConstraint, minimize
 
         vg = self._value_and_grad
+        scale = {"c0": None}
 
         def fun(x):
             v, g = vg(jnp.asarray(x))
-            return float(v), np.asarray(g, dtype=float)
+            v, g = float(v), np.asarray(g, dtype=float)
+            scale["last_raw"] = v
+            if normalize_objective:
+                if scale["c0"] is None:
+                    scale["c0"] = abs(v) if v != 0 else 1.0
+                v, g = v / scale["c0"], g / scale["c0"]
+            return v, g
 
         cons = []
         if self._density_vg is not None:
@@ -237,13 +247,15 @@ class OptimizationProblem:
             method="SLSQP",
             bounds=Bounds(self.param.lower, self.param.upper),
             constraints=cons,
-            callback=lambda x: self._record(x, fun(x)[0]),
+            callback=lambda x: self._record(x, scale["last_raw"]),
             options={"maxiter": max_iterations, "ftol": ftol},
         )
         theta = res.x
+        raw_obj = float(res.fun) * (scale["c0"] if normalize_objective and
+                                    scale["c0"] else 1.0)
         return OptimizationResult(
             theta=theta, radii=np.asarray(self.param.cell_radii(jnp.asarray(theta))),
-            objective=float(res.fun),
+            objective=raw_obj,
             density=self.density(theta) if self._density_vg is not None else float("nan"),
             iterations=int(res.nit), success=bool(res.success),
             history=self.history, message=str(res.message))
