@@ -80,14 +80,25 @@ def run(n: int):
 
 
 def main():
+    if os.environ.get("BENCH_SINGLE"):
+        run(int(os.environ["BENCH_SINGLE"]))
+        return
+    # a device fault poisons the jax client, so every size attempt gets a
+    # fresh subprocess (and the flaky tunnel gets one retry per size)
+    import subprocess
     sizes = [int(os.environ.get("BENCH_N", "50")), 30, 20, 10]
-    for i, n in enumerate(sizes):
-        try:
-            run(n)
-            return
-        except Exception as e:  # device fault / OOM: retry smaller
-            print(f"# bench at N={n} failed ({type(e).__name__}: {e}); "
-                  f"{'retrying smaller' if i + 1 < len(sizes) else 'giving up'}",
+    for n in sizes:
+        for attempt in range(2):
+            env = dict(os.environ, BENCH_SINGLE=str(n))
+            proc = subprocess.run([sys.executable, __file__], env=env,
+                                  capture_output=True, text=True,
+                                  timeout=int(os.environ.get("BENCH_TIMEOUT", "2400")))
+            out = proc.stdout.strip()
+            if proc.returncode == 0 and out.startswith("{"):
+                print(out.splitlines()[-1])
+                return
+            print(f"# bench N={n} attempt {attempt + 1} failed "
+                  f"(rc={proc.returncode}): {proc.stderr.strip().splitlines()[-1:]}",
                   file=sys.stderr)
     raise SystemExit(1)
 
