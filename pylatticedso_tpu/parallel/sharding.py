@@ -185,18 +185,38 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
     self-adjointness through ``lax.custom_linear_solve``) — the BASELINE
     "iteration".  Works on replicated [N,6] fields over the mesh; radius may
     carry a leading vmap batch dim for design populations.
+
+    The per-edge constant arrays (frames, lengths, connectivity — hundreds
+    of MB at 50^3 scale) are passed as jit ARGUMENTS, not closure captures:
+    captured concrete arrays get embedded into the compiled program as XLA
+    constants, which blows up compilation at scale.
     """
     from ..fem.solve import linear_solve
+    from ..fem.elements import EdgeGeometry
 
-    free = jnp.asarray(free_mask, dtype=shl.dtype)
-    f = jnp.asarray(f_ext, dtype=shl.dtype)
+    free_c = jnp.asarray(free_mask, dtype=shl.dtype)
+    f_c = jnp.asarray(f_ext, dtype=shl.dtype)
+    n_nodes = shl.n_nodes
+    E_mod, nu = shl.E_mod, shl.nu
 
-    def compliance(radius_padded):
-        D = shl.section_D(radius_padded)
+    def compliance(radius_padded, edges, valid, t, a1, a2, L, free, f):
+        geom = EdgeGeometry(t=t, a1=a1, a2=a2, L=L)
+        D = section_stiffness(radius_padded, E_mod, nu).D * valid[0][:, None]
+
+        def matvec(u):
+            n1, n2 = edges[0], edges[1]
+            eps = edge_strains(u[n1, :3], u[n1, 3:], u[n2, :3], u[n2, 3:], geom)
+            sig = D * eps
+            f_u1, f_m1, f_u2, f_m2 = edge_forces(sig, geom)
+            contrib = jnp.concatenate([
+                jnp.concatenate([f_u1, f_m1], axis=1),
+                jnp.concatenate([f_u2, f_m2], axis=1)], axis=0)
+            idx = jnp.concatenate([n1, n2])
+            return jax.ops.segment_sum(contrib, idx, num_segments=n_nodes)
 
         if preconditioner == "block_jacobi":
+            blk = _node_blocks_from(geom, D, edges, n_nodes)
             fm = free
-            blk = shl.node_blocks(D)
             blk = blk * fm[:, :, None] * fm[:, None, :]
             eye = jnp.eye(6, dtype=blk.dtype)
             blk = blk + (1.0 - fm)[:, :, None] * eye[None] * (1.0 - fm)[:, None, :]
@@ -205,15 +225,62 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
             Binv = jnp.linalg.inv(blk)
             M = lambda r: jnp.einsum("nij,nj->ni", Binv, r)
         else:
-            diag = free * shl.diagonal(D) + (1.0 - free)
+            from ..fem.elements import edge_dof_diag
+            d = edge_dof_diag(geom, D)
+            contrib = jnp.concatenate([d[:, :6], d[:, 6:]], axis=0)
+            idx = jnp.concatenate([edges[0], edges[1]])
+            diag = jax.ops.segment_sum(contrib, idx, num_segments=n_nodes)
+            diag = free * diag + (1.0 - free)
             diag = jnp.where(diag == 0, 1.0, diag)
             M = lambda r: r / diag
 
         def A(u):
-            return free * shl.matvec(free * u, D) + (1.0 - free) * u
+            return free * matvec(free * u) + (1.0 - free) * u
 
         b = free * f
         u = linear_solve(A, b, M=M, maxiter=maxiter, tol=tol)
         return jnp.sum(f * u)
 
-    return jax.jit(jax.value_and_grad(compliance))
+    vag = jax.jit(jax.value_and_grad(compliance))
+
+    def step(radius_padded):
+        out = vag(radius_padded, shl.edges, shl.valid, shl.t, shl.a1,
+                  shl.a2, shl.L, free_c, f_c)
+        return out
+
+    step._jitted = vag
+    step._operands = (shl.edges, shl.valid, shl.t, shl.a1, shl.a2, shl.L,
+                      free_c, f_c)
+
+    def step_batch(radius_batch):
+        """vmapped candidate population (radius batched, operands shared)."""
+        fn = jax.jit(jax.vmap(jax.value_and_grad(compliance),
+                              in_axes=(0,) + (None,) * 8))
+        return fn(radius_batch, *step._operands)
+
+    step.batch = step_batch
+    return step
+
+
+def _node_blocks_from(geom, D, edges, n_nodes):
+    """Assembled per-node 6x6 blocks from explicit operands (see
+    ShardedLattice.node_blocks for the derivation)."""
+    t, a1, a2, L = geom
+    invL = (1.0 / L)
+    E = t.shape[0]
+    dt = t.dtype
+    z = jnp.zeros((E, 3), dtype=dt)
+    Bu = jnp.stack([
+        -t * invL[:, None], -a1 * invL[:, None], -a2 * invL[:, None],
+        z, z, z], axis=1)
+    Bth = jnp.stack([
+        z, -a2 * 0.5, a1 * 0.5,
+        -t * invL[:, None], -a1 * invL[:, None], -a2 * invL[:, None]], axis=1)
+    B = jnp.concatenate([Bu, Bth], axis=2)
+    DL = D * L[:, None]
+    blk = jnp.einsum("eki,ek,ekj->eij", B, DL, B)
+    sgn = jnp.concatenate([jnp.ones(3, dtype=dt), -jnp.ones(3, dtype=dt)])
+    blk2 = blk * sgn[None, :, None] * sgn[None, None, :]
+    contrib = jnp.concatenate([blk, blk2], axis=0)
+    idx = jnp.concatenate([edges[0], edges[1]])
+    return jax.ops.segment_sum(contrib, idx, num_segments=n_nodes)
