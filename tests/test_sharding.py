@@ -1,0 +1,98 @@
+"""Device-mesh sharding: operator parity, preconditioners, candidate batches."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pylatticedso_tpu import build_lattice
+from pylatticedso_tpu.fem import assemble_dense
+from pylatticedso_tpu.fem.bc import apply_boundary_conditions
+from pylatticedso_tpu.parallel.sharding import (ShardedLattice, make_mesh,
+                                                make_compliance_step, pad_edges)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    lat = build_lattice({
+        "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                     "number_of_cells": {"x": 3, "y": 2, "z": 2},
+                     "radii": [0.05], "geom_types": ["Octet"]},
+        "boundary_conditions": {
+            "Displacement": {"Fixed": {"Surface": ["Xmin"],
+                                       "DOF": ["X", "Y", "Z", "RX", "RY", "RZ"],
+                                       "Value": [0, 0, 0, 0, 0, 0]}},
+            "Force": {"Load": {"Surface": ["Xmax"], "DOF": ["Z"],
+                               "Value": [-0.5]}}}})
+    bc = apply_boundary_conditions(lat)
+    mesh = make_mesh(n_shard=4, n_dp=2)
+    shl = ShardedLattice(mesh, lat.nodes, lat.edges, 1013.0, 0.3,
+                         dtype=jnp.float64)
+    return lat, bc, mesh, shl
+
+
+def test_pad_edges():
+    edges = np.arange(10).reshape(5, 2).astype(np.int32)
+    e2, (r2,), n_real = pad_edges(edges, [np.ones(5)], 4)
+    assert len(e2) == 8 and n_real == 5
+    assert np.all(e2[5:] == 0) and np.all(r2[5:] == 0)
+
+
+def test_sharded_matvec_matches_dense(setup):
+    lat, bc, mesh, shl = setup
+    r = shl.radius_padded(lat.radius)
+    D = shl.section_D(r)
+    K = np.asarray(assemble_dense(lat.nodes, lat.edges, lat.radius, 1013.0, 0.3))
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(lat.num_nodes, 6))
+    got = np.asarray(shl.matvec(jnp.asarray(u), D)).reshape(-1)
+    np.testing.assert_allclose(got, K @ u.reshape(-1), rtol=1e-10, atol=1e-10)
+
+
+def test_node_blocks_match_dense_diag_blocks(setup):
+    lat, bc, mesh, shl = setup
+    D = shl.section_D(shl.radius_padded(lat.radius))
+    blk = np.asarray(shl.node_blocks(D))
+    K = np.asarray(assemble_dense(lat.nodes, lat.edges, lat.radius, 1013.0, 0.3))
+    for n in range(0, lat.num_nodes, 7):
+        np.testing.assert_allclose(blk[n], K[6 * n:6 * n + 6, 6 * n:6 * n + 6],
+                                   atol=1e-10)
+
+
+def test_compliance_step_and_batch(setup):
+    lat, bc, mesh, shl = setup
+    step = make_compliance_step(shl, ~bc.fixed, bc.f_applied, tol=1e-10,
+                                maxiter=2000)
+    r = shl.radius_padded(lat.radius)
+    c, g = step(r)
+    assert float(c) > 0 and np.isfinite(np.asarray(g)).all()
+    # thicker struts -> lower compliance
+    c2, _ = step(shl.radius_padded(lat.radius * 1.2))
+    assert float(c2) < float(c)
+    # vmapped candidate batch reproduces single-candidate values
+    batch = jnp.stack([r, shl.radius_padded(lat.radius * 1.2)])
+    cb, gb = step.batch(batch)
+    np.testing.assert_allclose(np.asarray(cb), [float(c), float(c2)], rtol=1e-8)
+
+
+def test_block_jacobi_not_slower_than_jacobi(setup):
+    lat, bc, mesh, shl = setup
+    from pylatticedso_tpu.fem.solve import pcg
+    D = shl.section_D(shl.radius_padded(lat.radius))
+    free = jnp.asarray(~bc.fixed, dtype=jnp.float64)
+    f = jnp.asarray(bc.f_applied)
+    A = lambda u: free * shl.matvec(free * u, D) + (1 - free) * u
+    diag = free * shl.diagonal(D) + (1 - free)
+    oj = pcg(A, free * f, M=lambda x: x / jnp.where(diag == 0, 1, diag),
+             maxiter=20000, tol=1e-10)
+    blk = np.asarray(shl.node_blocks(D))
+    fm = np.asarray(free)
+    b2 = blk * fm[:, :, None] * fm[:, None, :]
+    eye = np.eye(6)
+    b2 = b2 + (1 - fm)[:, :, None] * eye[None] * (1 - fm)[:, None, :]
+    b2 = np.where(np.abs(b2).sum((1, 2))[:, None, None] == 0, eye[None], b2)
+    Binv = jnp.asarray(np.linalg.inv(b2))
+    ob = pcg(A, free * f, M=lambda x: jnp.einsum("nij,nj->ni", Binv, x),
+             maxiter=20000, tol=1e-10)
+    assert int(ob.iterations) <= int(oj.iterations)
+    np.testing.assert_allclose(np.asarray(ob.x), np.asarray(oj.x), atol=1e-7)
