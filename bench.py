@@ -54,13 +54,18 @@ def run(n: int):
     # compile + warm up
     c, g = step(r)
     jax.block_until_ready((c, g))
-    times = []
-    for _ in range(3):
-        t1 = time.time()
-        c, g = step(r)
-        jax.block_until_ready((c, g))
-        times.append(time.time() - t1)
-    sec = min(times)
+    # timed: a chained projected-gradient descent — each iteration's radii
+    # derive from the previous gradient, so no execution can be memoized and
+    # the fixed tunnel round-trip overhead is amortized over all steps
+    K_STEPS = int(os.environ.get("BENCH_STEPS", "5"))
+    lr = 1e-4
+    t1 = time.time()
+    rr = r
+    for _ in range(K_STEPS):
+        c, g = step(rr)
+        rr = jnp.clip(rr - lr * g, 0.01, 0.1) * (rr > 0)
+    jax.block_until_ready((c, g, rr))
+    sec = (time.time() - t1) / K_STEPS
     target = 1.0
     print(json.dumps({
         "metric": f"{n}^3 {geom} ({dofs} DOF, {lat.num_edges} beams): "

@@ -203,19 +203,28 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
         geom = EdgeGeometry(t=t, a1=a1, a2=a2, L=L)
         D = section_stiffness(radius_padded, E_mod, nu).D * valid[0][:, None]
 
+        # all scatters/gathers below run on FLAT 1-D buffers: a materialized
+        # [E, 6] (or worse, [E, 6, 6]) array is tile-padded to (8, 128) on
+        # TPU — a 21-28x memory blowup that OOMs at 50^3 scale; 1-D layouts
+        # pad only to the lane width
+        n1, n2 = edges[0], edges[1]
+        dof1 = (n1[:, None] * 6 + jnp.arange(6, dtype=n1.dtype)).reshape(-1)
+        dof2 = (n2[:, None] * 6 + jnp.arange(6, dtype=n2.dtype)).reshape(-1)
+        dof_idx = jnp.concatenate([dof1, dof2])
+
         def matvec(u):
-            n1, n2 = edges[0], edges[1]
             eps = edge_strains(u[n1, :3], u[n1, 3:], u[n2, :3], u[n2, 3:], geom)
             sig = D * eps
             f_u1, f_m1, f_u2, f_m2 = edge_forces(sig, geom)
             contrib = jnp.concatenate([
-                jnp.concatenate([f_u1, f_m1], axis=1),
-                jnp.concatenate([f_u2, f_m2], axis=1)], axis=0)
-            idx = jnp.concatenate([n1, n2])
-            return jax.ops.segment_sum(contrib, idx, num_segments=n_nodes)
+                jnp.concatenate([f_u1, f_m1], axis=1).reshape(-1),
+                jnp.concatenate([f_u2, f_m2], axis=1).reshape(-1)])
+            flat = jax.ops.segment_sum(contrib, dof_idx,
+                                       num_segments=6 * n_nodes)
+            return flat.reshape(n_nodes, 6)
 
         if preconditioner == "block_jacobi":
-            blk = _node_blocks_from(geom, D, edges, n_nodes)
+            blk = _node_blocks_from(geom, D, edges, n_nodes, flat=True)
             fm = free
             blk = blk * fm[:, :, None] * fm[:, None, :]
             eye = jnp.eye(6, dtype=blk.dtype)
@@ -227,9 +236,10 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
         else:
             from ..fem.elements import edge_dof_diag
             d = edge_dof_diag(geom, D)
-            contrib = jnp.concatenate([d[:, :6], d[:, 6:]], axis=0)
-            idx = jnp.concatenate([edges[0], edges[1]])
-            diag = jax.ops.segment_sum(contrib, idx, num_segments=n_nodes)
+            contrib = jnp.concatenate([d[:, :6].reshape(-1),
+                                       d[:, 6:].reshape(-1)])
+            diag = jax.ops.segment_sum(contrib, dof_idx,
+                                       num_segments=6 * n_nodes).reshape(n_nodes, 6)
             diag = free * diag + (1.0 - free)
             diag = jnp.where(diag == 0, 1.0, diag)
             M = lambda r: r / diag
@@ -262,9 +272,14 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
     return step
 
 
-def _node_blocks_from(geom, D, edges, n_nodes):
+def _node_blocks_from(geom, D, edges, n_nodes, flat: bool = False):
     """Assembled per-node 6x6 blocks from explicit operands (see
-    ShardedLattice.node_blocks for the derivation)."""
+    ShardedLattice.node_blocks for the derivation).
+
+    ``flat`` routes the scatter through a 1-D per-entry segment_sum —
+    required at scale, where a materialized [2E, 6, 6] would tile-pad to
+    (8, 128) and exceed HBM.
+    """
     t, a1, a2, L = geom
     invL = (1.0 / L)
     E = t.shape[0]
@@ -281,6 +296,14 @@ def _node_blocks_from(geom, D, edges, n_nodes):
     blk = jnp.einsum("eki,ek,ekj->eij", B, DL, B)
     sgn = jnp.concatenate([jnp.ones(3, dtype=dt), -jnp.ones(3, dtype=dt)])
     blk2 = blk * sgn[None, :, None] * sgn[None, None, :]
-    contrib = jnp.concatenate([blk, blk2], axis=0)
-    idx = jnp.concatenate([edges[0], edges[1]])
-    return jax.ops.segment_sum(contrib, idx, num_segments=n_nodes)
+    if not flat:
+        contrib = jnp.concatenate([blk, blk2], axis=0)
+        idx = jnp.concatenate([edges[0], edges[1]])
+        return jax.ops.segment_sum(contrib, idx, num_segments=n_nodes)
+    ent = jnp.arange(36, dtype=edges.dtype)
+    idx = jnp.concatenate([
+        (edges[0][:, None] * 36 + ent).reshape(-1),
+        (edges[1][:, None] * 36 + ent).reshape(-1)])
+    contrib = jnp.concatenate([blk.reshape(-1), blk2.reshape(-1)])
+    out = jax.ops.segment_sum(contrib, idx, num_segments=36 * n_nodes)
+    return out.reshape(n_nodes, 6, 6)
