@@ -82,27 +82,73 @@ def density_voxel(frac_beams: np.ndarray, radii: np.ndarray,
 
 
 def density_dataset(geom_types: Sequence[str], radius_grid: Sequence[float],
-                    resolution: int = 96) -> Dict[Tuple[float, ...], float]:
-    """Exact-density dataset over a radius grid (resumable host loop).
+                    resolution: int = 96, resume_path=None,
+                    save_every: int = 10) -> Dict[Tuple[float, ...], float]:
+    """Exact-density dataset over a radius grid.
 
     Mirrors compute_relative_densities_dataset
     (surrogate_model_relative_densities.py:102-177) with voxel quadrature in
-    place of gmsh CAD booleans.
+    place of gmsh CAD booleans.  ``resume_path`` enables the reference's
+    crash-safe incremental generation: existing entries are reloaded, only
+    missing combos are computed, and progress is checkpointed atomically
+    every ``save_every`` samples.
     """
+    import pickle
     from itertools import product
+    from pathlib import Path
 
     from ..catalog import get_beam_structure
 
+    out: Dict[Tuple[float, ...], float] = {}
+    if resume_path is not None and Path(resume_path).exists():
+        with open(resume_path, "rb") as fh:
+            out = pickle.load(fh)
+
+    def checkpoint():
+        if resume_path is None:
+            return
+        import os
+        import tempfile
+        p = Path(resume_path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=p.parent)
+        with os.fdopen(fd, "wb") as fh:
+            pickle.dump(out, fh)
+        os.replace(tmp, p)
+
     tpls = [get_beam_structure(g) for g in geom_types]
-    out = {}
+    beams = np.concatenate(tpls)
+    n_new = 0
     for combo in product(radius_grid, repeat=len(geom_types)):
-        if sum(combo) <= 0.003:
+        key = tuple(round(float(c), 6) for c in combo)
+        if sum(combo) <= 0.003 or key in out:
             continue
-        beams = np.concatenate(tpls)
         radii = np.concatenate([np.full(len(t), c) for t, c in zip(tpls, combo)])
-        out[tuple(round(float(c), 6) for c in combo)] = density_voxel(
-            beams, radii, resolution=resolution)
+        out[key] = density_voxel(beams, radii, resolution=resolution)
+        n_new += 1
+        if n_new % save_every == 0:
+            checkpoint()
+    checkpoint()
     return out
+
+
+def filter_outliers(dataset: Dict[Tuple[float, ...], float],
+                    n_neighbors: int = 4, max_rel_variation: float = 2.0
+                    ) -> Dict[Tuple[float, ...], float]:
+    """Drop samples whose value deviates wildly from their neighbors' median
+    (remove_large_volume_variations_dict parity,
+    surrogate_model_relative_densities.py:465-520) — guards the GPR fit
+    against corrupt entries like the reference's CSV artifacts."""
+    keys = np.array([list(k) for k in dataset.keys()], dtype=float)
+    vals = np.array(list(dataset.values()), dtype=float)
+    if len(keys) <= n_neighbors + 1:
+        return dict(dataset)
+    d2 = np.sum((keys[:, None, :] - keys[None, :, :])**2, axis=-1)
+    np.fill_diagonal(d2, np.inf)
+    nn = np.argsort(d2, axis=1)[:, :n_neighbors]
+    med = np.median(vals[nn], axis=1)
+    keep = np.abs(vals - med) <= max_rel_variation * np.maximum(np.abs(med), 1e-9)
+    return {k: v for (k, v), ok in zip(dataset.items(), keep) if ok}
 
 
 @dataclass

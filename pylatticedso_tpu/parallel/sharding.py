@@ -269,6 +269,29 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
         return fn(radius_batch, *step._operands)
 
     step.batch = step_batch
+
+    def descent_loop(radius0, n_steps: int, lr: float = 1e-4,
+                     r_min: float = 0.01, r_max: float = 0.1):
+        """Fully device-resident projected-gradient descent: n_steps
+        solve+gradient+update iterations inside ONE compiled program (a
+        single dispatch — immune to per-call host/tunnel overhead)."""
+        vg = jax.value_and_grad(compliance)
+
+        @partial(jax.jit, static_argnums=1)
+        def loop(r0, k, *operands):
+            keep = (r0 > 0).astype(r0.dtype)
+
+            def body(_, carry):
+                r, _c = carry
+                c, g = vg(r, *operands)
+                r = jnp.clip(r - lr * g, r_min, r_max) * keep
+                return (r, c)
+
+            return jax.lax.fori_loop(0, k, body, (r0, jnp.zeros((), r0.dtype)))
+
+        return loop(radius0, n_steps, *step._operands)
+
+    step.descent_loop = descent_loop
     return step
 
 

@@ -127,6 +127,46 @@ def plot_convergence(history: Sequence[dict], save_path=None):
     return fig
 
 
+def plot_radius_field(lattice, cell_radii: Optional[np.ndarray] = None,
+                      axis: int = 1, layer: int = 0, save_path=None):
+    """Heatmap of the per-cell radius field on one grid layer
+    (OptimizationPlotter radius-field heatmap parity)."""
+    plt = _mpl()
+    cr = np.asarray(cell_radii if cell_radii is not None else lattice.cell_radii)
+    r = cr.mean(axis=1) if cr.ndim == 2 else cr
+    pos = lattice.cell_pos
+    sel = pos[:, axis] == layer
+    axes2d = [a for a in range(3) if a != axis]
+    nx = pos[:, axes2d[0]].max() + 1
+    ny = pos[:, axes2d[1]].max() + 1
+    grid = np.full((ny, nx), np.nan)
+    for p, v in zip(pos[sel], r[sel]):
+        grid[p[axes2d[1]], p[axes2d[0]]] = v
+    fig, ax = plt.subplots()
+    im = ax.imshow(grid, origin="lower", cmap="viridis")
+    fig.colorbar(im, ax=ax, label="cell radius")
+    ax.set_title(f"radius field (axis {axis} layer {layer})")
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_parity(y_true, y_pred, save_path=None):
+    """Surrogate parity plot (evaluate_kriging parity scatter)."""
+    plt = _mpl()
+    y_true = np.asarray(y_true); y_pred = np.asarray(y_pred)
+    fig, ax = plt.subplots()
+    ax.scatter(y_true, y_pred, s=12)
+    lo, hi = min(y_true.min(), y_pred.min()), max(y_true.max(), y_pred.max())
+    ax.plot([lo, hi], [lo, hi], "k--", lw=1)
+    ax.set_xlabel("exact"); ax.set_ylabel("surrogate")
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
 def visualize_homogenization_surface(C: np.ndarray, n_theta: int = 60,
                                      n_phi: int = 120, save_path=None):
     """Directional stiffness surface E(theta, phi)
