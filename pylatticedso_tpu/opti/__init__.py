@@ -1,0 +1,48 @@
+from .density import (KrigingDensity, density_analytic, density_dataset,
+                      density_voxel, filter_outliers)
+from .optimizer import OptimizationProblem, OptimizationResult
+from .parameterization import Parameterization, make_parameterization
+
+
+def optimize_lattice(lattice, max_iterations=None, driver: str = "slsqp",
+                     **kwargs):
+    """One-call design optimization from the config's
+    ``optimization_informations`` block (LatticeOpti.optimize_lattice parity,
+    lattice_opti.py:141-226).
+
+    ``simulation_type: "DDM"`` routes through the surrogate-DDM problem;
+    anything else uses the full matrix-free operator.  Returns
+    (problem, OptimizationResult).
+    """
+    cfg = lattice.config.optimization or {}
+    sim_type = cfg.get("simulation_type", "FEM")
+    common = dict(
+        objective_type=cfg.get("objective_type", "compliance"),
+        objective_function=cfg.get("objective_function", "min"),
+        objective_data=cfg.get("objective_data"),
+        opt_params=cfg.get("optimization_parameters", {"type": "constant"}),
+        constraints=cfg.get("constraints", {}),
+        normalized=cfg.get("enable_parameter_normalization", True),
+    )
+    common.update(kwargs)
+    if sim_type == "DDM":
+        from .ddm_optimizer import DDMOptimizationProblem
+        problem = DDMOptimizationProblem(lattice, **common)
+    else:
+        problem = OptimizationProblem(lattice, **common)
+    iters = max_iterations if max_iterations is not None \
+        else cfg.get("max_iterations", 20)
+    if driver == "slsqp":
+        result = problem.optimize_slsqp(max_iterations=iters)
+    elif driver == "projected":
+        result = problem.optimize_projected(max_iterations=iters)
+    else:
+        raise ValueError(f"unknown driver {driver!r}")
+    return problem, result
+
+
+__all__ = [
+    "KrigingDensity", "density_analytic", "density_dataset", "density_voxel",
+    "filter_outliers", "OptimizationProblem", "OptimizationResult",
+    "Parameterization", "make_parameterization", "optimize_lattice",
+]

@@ -151,3 +151,43 @@ def test_displacement_objective():
     e = np.zeros_like(x0); e[0] = h
     fd = (prob.objective(x0 + e) - prob.objective(x0 - e)) / (2 * h)
     np.testing.assert_allclose(g[0], fd, rtol=1e-4)
+
+
+def test_optimize_lattice_entrypoint():
+    """Config-driven one-call API (simulation_type FEM)."""
+    from pylatticedso_tpu.opti import optimize_lattice
+    lat = build_lattice({
+        "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                     "number_of_cells": {"x": 2, "y": 1, "z": 1},
+                     "radii": [0.05], "geom_types": ["BCC"]},
+        "simulation_parameters": {"enable": True, "material": "VeroClear"},
+        "boundary_conditions": {
+            "Displacement": {"Fixed": {"Surface": ["Xmin"],
+                                       "DOF": ["X", "Y", "Z", "RX", "RY", "RZ"],
+                                       "Value": [0, 0, 0, 0, 0, 0]}},
+            "Force": {"Load": {"Surface": ["Xmax"], "DOF": ["Z"],
+                               "Value": [-0.1]}}},
+        "optimization_informations": {
+            "objective_function": "min", "objective_type": "compliance",
+            "max_iterations": 5, "simulation_type": "FEM",
+            "enable_parameter_normalization": True,
+            "optimization_parameters": {"type": "constant"},
+            "constraints": {}}})
+    problem, result = optimize_lattice(lat, cg_tol=1e-10, cg_maxiter=2000)
+    assert result.objective <= problem.objective(problem.param.x0) + 1e-12
+
+
+def test_density_dataset_resume_and_outliers(tmp_path):
+    from pylatticedso_tpu.opti.density import density_dataset, filter_outliers
+    p = tmp_path / "ds.pkl"
+    ds = density_dataset(["BCC"], [0.02, 0.05], resolution=24,
+                         resume_path=p, save_every=1)
+    assert p.exists() and len(ds) == 2
+    ds2 = density_dataset(["BCC"], [0.02, 0.05, 0.08], resolution=24,
+                          resume_path=p)
+    assert len(ds2) == 3
+    for k, v in ds.items():
+        assert ds2[k] == v  # resumed entries untouched
+    corrupted = dict(ds2); corrupted[(0.06,)] = 5.0
+    clean = filter_outliers(corrupted, n_neighbors=2)
+    assert (0.06,) not in clean and len(clean) == 3
