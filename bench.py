@@ -88,23 +88,46 @@ def main():
     if os.environ.get("BENCH_SINGLE"):
         run(int(os.environ["BENCH_SINGLE"]))
         return
-    # a device fault poisons the jax client, so every size attempt gets a
-    # fresh subprocess (and the flaky tunnel gets one retry per size)
+    # a device fault poisons the jax client AND can wedge the chip for a few
+    # minutes: every size attempt gets a fresh subprocess, and after a
+    # failure we wait for a trivial health probe to pass before continuing
     import subprocess
+
+    def wait_healthy(max_wait=600):
+        probe = ("import jax, jax.numpy as jnp; "
+                 "x = jnp.ones((64, 64)); print(float((x @ x).sum()))")
+        t0 = time.time()
+        while time.time() - t0 < max_wait:
+            p = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True, timeout=180)
+            if p.returncode == 0:
+                return True
+            time.sleep(30)
+        return False
+
     sizes = [int(os.environ.get("BENCH_N", "50")), 30, 20, 10]
     for n in sizes:
         for attempt in range(2):
             env = dict(os.environ, BENCH_SINGLE=str(n))
-            proc = subprocess.run([sys.executable, __file__], env=env,
-                                  capture_output=True, text=True,
-                                  timeout=int(os.environ.get("BENCH_TIMEOUT", "2400")))
+            try:
+                proc = subprocess.run(
+                    [sys.executable, __file__], env=env, capture_output=True,
+                    text=True,
+                    timeout=int(os.environ.get("BENCH_TIMEOUT", "2400")))
+            except subprocess.TimeoutExpired:
+                print(f"# bench N={n} attempt {attempt + 1} timed out",
+                      file=sys.stderr)
+                wait_healthy()
+                continue
             out = proc.stdout.strip()
             if proc.returncode == 0 and out.startswith("{"):
                 print(out.splitlines()[-1])
                 return
+            err_lines = [l for l in proc.stderr.strip().splitlines()
+                         if "Error" in l or "rror:" in l][-3:]
             print(f"# bench N={n} attempt {attempt + 1} failed "
-                  f"(rc={proc.returncode}): {proc.stderr.strip().splitlines()[-1:]}",
-                  file=sys.stderr)
+                  f"(rc={proc.returncode}): {err_lines}", file=sys.stderr)
+            wait_healthy()
     raise SystemExit(1)
 
 
