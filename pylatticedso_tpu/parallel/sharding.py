@@ -189,78 +189,103 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
     The per-edge constant arrays (frames, lengths, connectivity — hundreds
     of MB at 50^3 scale) are passed as jit ARGUMENTS, not closure captures:
     captured concrete arrays get embedded into the compiled program as XLA
-    constants, which blows up compilation at scale.
+    constants, which blows up compilation at scale.  All per-edge work runs
+    in TRANSPOSED (edge-last, [k, E]) layout with flat 1-D gathers/scatters:
+    row-major [E, small] buffers tile-pad to (8, 128) on TPU — 21-170x
+    memory blowups that OOM the 50^3 problem.
     """
     from ..fem.solve import linear_solve
-    from ..fem.elements import EdgeGeometry
 
     free_c = jnp.asarray(free_mask, dtype=shl.dtype)
     f_c = jnp.asarray(f_ext, dtype=shl.dtype)
     n_nodes = shl.n_nodes
     E_mod, nu = shl.E_mod, shl.nu
+    G_mod = E_mod / (2.0 * (1.0 + nu))
+    kappa = 0.9
 
-    def compliance(radius_padded, edges, valid, t, a1, a2, L, free, f):
-        geom = EdgeGeometry(t=t, a1=a1, a2=a2, L=L)
-        D = section_stiffness(radius_padded, E_mod, nu).D * valid[0][:, None]
+    # transposed operands built once (host/setup time)
+    tT = jnp.transpose(shl.t)            # [3, E]
+    a1T = jnp.transpose(shl.a1)
+    a2T = jnp.transpose(shl.a2)
+    Lv = shl.L                           # [E]
+    validv = shl.valid[0]                # [E]
+    edges2 = shl.edges                   # [2, E]
+    Epad = int(Lv.shape[0])
 
-        # all scatters/gathers below run on FLAT 1-D buffers: a materialized
-        # [E, 6] (or worse, [E, 6, 6]) array is tile-padded to (8, 128) on
-        # TPU — a 21-28x memory blowup that OOMs at 50^3 scale; 1-D layouts
-        # pad only to the lane width
-        n1, n2 = edges[0], edges[1]
-        dof1 = (n1[:, None] * 6 + jnp.arange(6, dtype=n1.dtype)).reshape(-1)
-        dof2 = (n2[:, None] * 6 + jnp.arange(6, dtype=n2.dtype)).reshape(-1)
-        dof_idx = jnp.concatenate([dof1, dof2])
+    # flat gather ids: 12 slots (u1 xyz, th1 xyz, u2 xyz, th2 xyz) x E
+    e_np = np.asarray(edges2)
+    gather_np = np.concatenate([
+        (e_np[0][None, :] * 6 + np.arange(3)[:, None]),      # u1
+        (e_np[0][None, :] * 6 + np.arange(3, 6)[:, None]),   # th1
+        (e_np[1][None, :] * 6 + np.arange(3)[:, None]),      # u2
+        (e_np[1][None, :] * 6 + np.arange(3, 6)[:, None]),   # th2
+    ]).astype(np.int32)                                       # [12, E]
+    gather_ids = jnp.asarray(gather_np.reshape(-1))
+    scatter_ids = gather_ids                                  # same slots
 
-        def matvec(u):
-            eps = edge_strains(u[n1, :3], u[n1, 3:], u[n2, :3], u[n2, 3:], geom)
-            sig = D * eps
-            f_u1, f_m1, f_u2, f_m2 = edge_forces(sig, geom)
+    def compliance(radius, tT, a1T, a2T, Lv, validv, gather_ids, free, f):
+        r2 = radius * radius
+        S = jnp.pi * r2 * validv
+        I = jnp.pi * r2 * r2 / 4.0
+        ES, kGS = E_mod * S, kappa * G_mod * S
+        GJ, EI = G_mod * 2.0 * I * validv, E_mod * I * validv
+        invL = 1.0 / Lv
+        half = 0.5
+
+        free_flat = free.reshape(-1)
+        f_flat = f.reshape(-1)
+
+        def matvec(u_flat):
+            g = u_flat[gather_ids].reshape(12, Epad)
+            du = g[6:9] - g[0:3]          # [3, E]
+            ths = g[3:6] + g[9:12]
+            dth = g[9:12] - g[3:6]
+            dot = lambda A, B: jnp.sum(A * B, axis=0)  # [E]
+            e0 = dot(du, tT) * invL
+            e1 = dot(du, a1T) * invL - dot(ths, a2T) * half
+            e2 = dot(du, a2T) * invL + dot(ths, a1T) * half
+            e3 = dot(dth, tT) * invL
+            e4 = dot(dth, a1T) * invL
+            e5 = dot(dth, a2T) * invL
+            s0, s1, s2 = ES * e0, kGS * e1, kGS * e2
+            s3, s4, s5 = GJ * e3, EI * e4, EI * e5
+            fu = s0 * tT + s1 * a1T + s2 * a2T              # [3, E]
+            msh = (Lv * half) * (-s1 * a2T + s2 * a1T)
+            mdf = s3 * tT + s4 * a1T + s5 * a2T
             contrib = jnp.concatenate([
-                jnp.concatenate([f_u1, f_m1], axis=1).reshape(-1),
-                jnp.concatenate([f_u2, f_m2], axis=1).reshape(-1)])
-            flat = jax.ops.segment_sum(contrib, dof_idx,
+                -fu, msh - mdf, fu, msh + mdf]).reshape(-1)  # [12 E]
+            return jax.ops.segment_sum(contrib, scatter_ids,
                                        num_segments=6 * n_nodes)
-            return flat.reshape(n_nodes, 6)
 
-        if preconditioner == "block_jacobi":
-            blk = _node_blocks_from(geom, D, edges, n_nodes, flat=True)
-            fm = free
-            blk = blk * fm[:, :, None] * fm[:, None, :]
-            eye = jnp.eye(6, dtype=blk.dtype)
-            blk = blk + (1.0 - fm)[:, :, None] * eye[None] * (1.0 - fm)[:, None, :]
-            blk = jnp.where(jnp.abs(blk).sum((1, 2))[:, None, None] == 0,
-                            eye[None], blk)
-            Binv = jnp.linalg.inv(blk)
-            M = lambda r: jnp.einsum("nij,nj->ni", Binv, r)
-        else:
-            from ..fem.elements import edge_dof_diag
-            d = edge_dof_diag(geom, D)
-            contrib = jnp.concatenate([d[:, :6].reshape(-1),
-                                       d[:, 6:].reshape(-1)])
-            diag = jax.ops.segment_sum(contrib, dof_idx,
-                                       num_segments=6 * n_nodes).reshape(n_nodes, 6)
-            diag = free * diag + (1.0 - free)
-            diag = jnp.where(diag == 0, 1.0, diag)
-            M = lambda r: r / diag
+        # scalar Jacobi diagonal, fully flat (block variant needs [N,6,6]
+        # storage whose padding is hostile at this scale)
+        t2, a12, a22 = tT * tT, a1T * a1T, a2T * a2T
+        d_u = (ES * t2 + kGS * (a12 + a22)) * invL           # [3, E]
+        d_th = (kGS * (a22 + a12)) * (Lv * 0.25) \
+            + (GJ * t2 + EI * (a12 + a22)) * invL
+        dcontrib = jnp.concatenate([d_u, d_th, d_u, d_th]).reshape(-1)
+        diag = jax.ops.segment_sum(dcontrib, scatter_ids,
+                                   num_segments=6 * n_nodes)
+        diag = free_flat * diag + (1.0 - free_flat)
+        diag = jnp.where(diag == 0, 1.0, diag)
+        M = lambda r_: r_ / diag
 
-        def A(u):
-            return free * matvec(free * u) + (1.0 - free) * u
+        def A(u_flat):
+            return free_flat * matvec(free_flat * u_flat) \
+                + (1.0 - free_flat) * u_flat
 
-        b = free * f
+        b = free_flat * f_flat
         u = linear_solve(A, b, M=M, maxiter=maxiter, tol=tol)
-        return jnp.sum(f * u)
+        return jnp.sum(f_flat * u)
 
     vag = jax.jit(jax.value_and_grad(compliance))
+    operands = (tT, a1T, a2T, Lv, validv, gather_ids, free_c, f_c)
 
     def step(radius_padded):
-        out = vag(radius_padded, shl.edges, shl.valid, shl.t, shl.a1,
-                  shl.a2, shl.L, free_c, f_c)
-        return out
+        return vag(radius_padded, *operands)
 
     step._jitted = vag
-    step._operands = (shl.edges, shl.valid, shl.t, shl.a1, shl.a2, shl.L,
-                      free_c, f_c)
+    step._operands = operands
 
     def step_batch(radius_batch):
         """vmapped candidate population (radius batched, operands shared)."""
