@@ -1,0 +1,127 @@
+"""Structured stencil operator: exactness vs the unstructured/dense path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pylatticedso_tpu import build_lattice
+from pylatticedso_tpu.fem import assemble_dense
+from pylatticedso_tpu.parallel.structured import (StructuredLattice,
+                                                  make_structured_compliance_step)
+
+
+def _map_nodes(sl, lat):
+    coord_to_cg = {}
+    for c in range(sl.nc):
+        x, y, z = sl.class_pos[c]
+        for idx in np.argwhere(sl.node_valid[c]):
+            key = (round(x[tuple(idx)], 9), round(y[tuple(idx)], 9),
+                   round(z[tuple(idx)], 9))
+            coord_to_cg[key] = (c, tuple(idx))
+    mapping = []
+    for i, p in enumerate(lat.nodes):
+        key = tuple(np.round(p, 9))
+        assert key in coord_to_cg, f"lattice node {p} missing from class grids"
+        mapping.append((i, *coord_to_cg[key]))
+    return mapping
+
+
+def _check_matvec(geom, N, gradient=None, erase=None):
+    cfg = {"geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                        "number_of_cells": {"x": N[0], "y": N[1], "z": N[2]},
+                        "radii": [0.05], "geom_types": [geom]}}
+    if gradient:
+        cfg["gradient"] = gradient
+    cell_valid = None
+    if erase:
+        cfg["supplementary"] = {"erased_blocks": {"b": {
+            "start_point": {k: float(v) for k, v in zip("xyz", erase[0])},
+            "dimensions_block": {k: float(v) for k, v in zip("xyz", erase[1])}}}}
+        cell_valid = np.ones(N, dtype=bool)
+        lo = np.array(erase[0], dtype=int)
+        hi = lo + np.array(erase[1], dtype=int)
+        cell_valid[lo[0]:hi[0] + 1, lo[1]:hi[1] + 1, lo[2]:hi[2] + 1] = False
+    lat = build_lattice(cfg)
+    sl = StructuredLattice(geom, tuple(N), (1, 1, 1), 1013.0, 0.3,
+                           dtype=jnp.float64, cell_valid=cell_valid)
+    assert sl.n_nodes == lat.num_nodes
+    n_inst = sum(int(e["inst_valid"].sum()) for e in sl.edges)
+    assert n_inst == lat.num_edges
+    mapping = _map_nodes(sl, lat)
+    rng = np.random.default_rng(0)
+    u_lat = rng.normal(size=(lat.num_nodes, 6))
+    u_f = np.zeros((sl.nc, 6) + sl.grid)
+    for i, c, g in mapping:
+        u_f[(c, slice(None)) + g] = u_lat[i]
+    rfield = np.full(N, 0.05)
+    for ci, pos in enumerate(lat.cell_pos):
+        rfield[tuple(pos)] = lat.cell_radii[ci, 0]
+    matvec, diag = sl.make_matvec()
+    out = np.asarray(matvec(jnp.asarray(u_f), jnp.asarray(rfield)))
+    K = np.asarray(assemble_dense(lat.nodes, lat.edges, lat.radius, 1013.0, 0.3))
+    ref = (K @ u_lat.reshape(-1)).reshape(-1, 6)
+    err = max(np.abs(out[(c, slice(None)) + g] - ref[i]).max()
+              for i, c, g in mapping)
+    assert err < 1e-10, f"{geom} {N}: matvec err {err:.2e}"
+    d = np.asarray(diag(jnp.asarray(rfield)))
+    derr = max(np.abs(d[(c, slice(None)) + g] - np.diag(K).reshape(-1, 6)[i]).max()
+               for i, c, g in mapping)
+    assert derr < 1e-10
+
+
+@pytest.mark.parametrize("geom,N", [("Octet", (3, 2, 2)), ("BCC", (2, 2, 2)),
+                                    ("Cubic", (2, 3, 2)), ("Kelvin", (2, 2, 2)),
+                                    ("Diamond", (2, 2, 2))])
+def test_structured_matvec_matches_dense(geom, N):
+    _check_matvec(geom, N)
+
+
+def test_structured_graded_radius_field():
+    _check_matvec("Octet", (3, 2, 2),
+                  gradient={"radii": {"rule": "linear", "direction_x": True,
+                                      "parameter_x": 0.3}})
+
+
+def test_structured_erased_cells():
+    _check_matvec("BCC", (3, 3, 2), erase=((0, 0, 0), (0.5, 0.5, 0.5)))
+
+
+def test_structured_compliance_and_gradient_match_unstructured():
+    from pylatticedso_tpu.fem.bc import apply_boundary_conditions
+    from pylatticedso_tpu.parallel.sharding import (ShardedLattice, make_mesh,
+                                                    make_compliance_step)
+    n = 3
+    sl = StructuredLattice("Octet", (n, n, n), (1., 1., 1.), 1013.0, 0.3,
+                           dtype=jnp.float64)
+    fixed = sl.select_nodes(lambda x, y, z: z == 0.0)
+    top = sl.select_nodes(lambda x, y, z: z == float(n))
+    free = sl.node_valid & ~fixed
+    f = np.zeros((sl.nc, 6) + sl.grid)
+    for c in range(sl.nc):
+        f[c, 2][top[c]] = -1.0 / int(top.sum())
+    step = make_structured_compliance_step(sl, free, f, tol=1e-11, maxiter=3000)
+    r0 = jnp.full((n, n, n), 0.05)
+    c_s, g_s = step(r0)
+
+    lat = build_lattice({"geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                                      "number_of_cells": {"x": n, "y": n, "z": n},
+                                      "radii": [0.05], "geom_types": ["Octet"]},
+                         "boundary_conditions": {
+        "Displacement": {"Fixed": {"Surface": ["Zmin"],
+                                   "DOF": ["X", "Y", "Z", "RX", "RY", "RZ"],
+                                   "Value": [0, 0, 0, 0, 0, 0]}},
+        "Force": {"Load": {"Surface": ["Zmax"], "DOF": ["Z"], "Value": [-1.0]}}}})
+    bc = apply_boundary_conditions(lat)
+    mesh = make_mesh(n_shard=1, n_dp=1)
+    shl = ShardedLattice(mesh, lat.nodes, lat.edges, 1013.0, 0.3,
+                         dtype=jnp.float64)
+    ustep = make_compliance_step(shl, ~bc.fixed, bc.f_applied, tol=1e-11,
+                                 maxiter=3000)
+    c_u, g_u = ustep(shl.radius_padded(lat.radius))
+    np.testing.assert_allclose(float(c_s), float(c_u), rtol=1e-9)
+    # per-edge gradients aggregate to the per-cell gradient by creator cell
+    cell_grad = np.zeros((n, n, n))
+    for e, ci in enumerate(lat.edge_cell):
+        cell_grad[tuple(lat.cell_pos[ci])] += np.asarray(g_u)[e]
+    np.testing.assert_allclose(np.asarray(g_s), cell_grad, rtol=1e-6)
