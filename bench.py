@@ -48,15 +48,15 @@ def run_structured(n: int):
     step = make_structured_compliance_step(sl, free, f, tol=tol,
                                            maxiter=maxiter)
     r0 = jnp.full(sl.num_cells, 0.05, dtype=jnp.float32)
-    c, g = step(r0)
-    jax.block_until_ready((c, g))
+    c, g, u = step(r0)
+    jax.block_until_ready((c, g, u))
     K_STEPS = int(os.environ.get("BENCH_STEPS", "8"))
     lr = 1e-4
     t1 = time.time()
     rr = r0 * 1.001
-    cc = c
+    cc, uu = c, u
     for _ in range(K_STEPS):
-        cc, gg = step(rr)
+        cc, gg, uu = step(rr, uu)   # warm-started from the previous solution
         rr = jnp.clip(rr - lr * gg, 0.01, 0.1)
     jax.block_until_ready((cc, rr))
     total = time.time() - t1

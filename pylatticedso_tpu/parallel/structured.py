@@ -279,14 +279,14 @@ def make_structured_compliance_step(slat: StructuredLattice,
     ``free_mask``: [nc, X, Y, Z] bool (free nodes); ``f_ext``:
     [nc, 6, X, Y, Z] applied forces.
     """
-    from ..fem.solve import linear_solve
+    from ..fem.solve import linear_solve, pcg
 
     matvec, diag_fn = slat.make_matvec()
     dt = slat.dtype
     free = jnp.asarray(np.broadcast_to(free_mask[:, None], f_ext.shape), dt)
     f = jnp.asarray(f_ext, dt)
 
-    def compliance(radius_field, free, f):
+    def _solve(radius_field, free, f, u0):
         dg = free * diag_fn(radius_field) + (1.0 - free)
         dg = jnp.where(dg == 0, 1.0, dg)
 
@@ -294,14 +294,41 @@ def make_structured_compliance_step(slat: StructuredLattice,
             return free * matvec(free * u, radius_field) + (1.0 - free) * u
 
         b = free * f
-        u = linear_solve(A, b, M=lambda r_: r_ / dg, maxiter=maxiter, tol=tol)
-        return jnp.sum(f * u)
+        M = lambda r_: r_ / dg
+        u0 = jax.lax.stop_gradient(u0)
 
-    vag = jax.jit(jax.value_and_grad(compliance))
+        def solve_fn(mv, rhs):
+            # warm start affects convergence only, not the fixed point, so
+            # implicit differentiation stays exact
+            return pcg(mv, rhs, M=M, x0=u0 * free, maxiter=maxiter, tol=tol).x
 
-    def step(radius_field):
-        return vag(radius_field, free, f)
+        return jax.lax.custom_linear_solve(A, b, solve_fn, symmetric=True)
+
+    def compliance(radius_field, free, f, u0):
+        u = _solve(radius_field, free, f, u0)
+        return jnp.sum(f * u), u
+
+    vag = jax.jit(jax.value_and_grad(compliance, has_aux=True))
+
+    def step(radius_field, u0=None):
+        """Returns (compliance, grad, u); pass the previous step's u as
+        ``u0`` to warm-start the solves (fewer CG iterations in a descent
+        loop; exactness unaffected)."""
+        if u0 is None:
+            u0 = jnp.zeros_like(f)
+        (c, u), g = vag(radius_field, free, f, u0)
+        return c, g, u
 
     step._jitted = vag
     step._operands = (free, f)
+
+    def step_batch(radius_fields):
+        """vmapped design-candidate population: [B, Nx, Ny, Nz] radii."""
+        u0 = jnp.zeros_like(f)
+        fn = jax.jit(jax.vmap(jax.value_and_grad(compliance, has_aux=True),
+                              in_axes=(0, None, None, None)))
+        (c, u), g = fn(radius_fields, free, f, u0)
+        return c, g
+
+    step.batch = step_batch
     return step

@@ -102,7 +102,7 @@ def test_structured_compliance_and_gradient_match_unstructured():
         f[c, 2][top[c]] = -1.0 / int(top.sum())
     step = make_structured_compliance_step(sl, free, f, tol=1e-11, maxiter=3000)
     r0 = jnp.full((n, n, n), 0.05)
-    c_s, g_s = step(r0)
+    c_s, g_s, _u = step(r0)
 
     lat = build_lattice({"geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
                                       "number_of_cells": {"x": n, "y": n, "z": n},
@@ -125,3 +125,26 @@ def test_structured_compliance_and_gradient_match_unstructured():
     for e, ci in enumerate(lat.edge_cell):
         cell_grad[tuple(lat.cell_pos[ci])] += np.asarray(g_u)[e]
     np.testing.assert_allclose(np.asarray(g_s), cell_grad, rtol=1e-6)
+
+
+def test_structured_candidate_batch():
+    n = 2
+    sl = StructuredLattice("Octet", (n, n, n), (1., 1., 1.), 1013.0, 0.3,
+                           dtype=jnp.float64)
+    fixed = sl.select_nodes(lambda x, y, z: z == 0.0)
+    top = sl.select_nodes(lambda x, y, z: z == float(n))
+    free = sl.node_valid & ~fixed
+    f = np.zeros((sl.nc, 6) + sl.grid)
+    for c in range(sl.nc):
+        f[c, 2][top[c]] = -1.0 / int(top.sum())
+    step = make_structured_compliance_step(sl, free, f, tol=1e-10, maxiter=2000)
+    r0 = jnp.full((n, n, n), 0.05)
+    c1, _g1, u1 = step(r0)
+    c2, _g2, _u2 = step(r0 * 1.2)
+    # warm start reproduces the same solution
+    c2w, _gw, _uw = step(r0 * 1.2, u1)
+    np.testing.assert_allclose(float(c2w), float(c2), rtol=1e-8)
+    cb, gb = step.batch(jnp.stack([r0, r0 * 1.2]))
+    np.testing.assert_allclose(np.asarray(cb), [float(c1), float(c2)],
+                               rtol=1e-9)
+    assert np.isfinite(np.asarray(gb)).all()
