@@ -11,8 +11,10 @@ def optimize_lattice(lattice, max_iterations=None, driver: str = "slsqp",
     lattice_opti.py:141-226).
 
     ``simulation_type: "DDM"`` routes through the surrogate-DDM problem;
-    anything else uses the full matrix-free operator.  Returns
-    (problem, OptimizationResult).
+    ``"FEM_STRUCTURED"`` (or ``"FEM_AUTO"`` when the lattice qualifies)
+    uses the dense stencil operator — the TPU-fast path for uniform
+    single-geometry lattices; anything else uses the full matrix-free
+    operator.  Returns (problem, OptimizationResult).
     """
     cfg = lattice.config.optimization or {}
     sim_type = cfg.get("simulation_type", "FEM")
@@ -28,6 +30,14 @@ def optimize_lattice(lattice, max_iterations=None, driver: str = "slsqp",
     if sim_type == "DDM":
         from .ddm_optimizer import DDMOptimizationProblem
         problem = DDMOptimizationProblem(lattice, **common)
+    elif sim_type in ("FEM_STRUCTURED", "FEM_AUTO"):
+        from .structured_optimizer import StructuredOptimizationProblem
+        try:
+            problem = StructuredOptimizationProblem(lattice, **common)
+        except ValueError:
+            if sim_type == "FEM_STRUCTURED":
+                raise
+            problem = OptimizationProblem(lattice, **common)
     else:
         problem = OptimizationProblem(lattice, **common)
     iters = max_iterations if max_iterations is not None \

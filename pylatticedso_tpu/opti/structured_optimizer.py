@@ -1,0 +1,108 @@
+"""Optimization on the structured stencil path.
+
+For uniform single-geometry lattices (the scale regime), the equilibrium
+solve inside the design loop runs on the dense stencil operator instead of
+the gather/scatter graph — orders of magnitude faster per CG iteration on
+TPU.  Reuses ``OptimizationProblem``'s parameterizations, density
+constraint, drivers, and history machinery; only the solve is swapped.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..design.lattice import Lattice
+from .optimizer import OptimizationProblem
+from ..parallel.structured import (StructuredLattice,
+                                   make_structured_compliance_step)
+
+__all__ = ["StructuredOptimizationProblem"]
+
+
+class StructuredOptimizationProblem(OptimizationProblem):
+    def __init__(self, lattice: Lattice, dtype=jnp.float64, **kwargs):
+        if lattice.config.n_geom != 1:
+            raise ValueError("structured path requires a single geometry")
+        if not lattice.are_cells_identical():
+            raise ValueError("structured path requires uniform cell size/radii "
+                             "(per-cell DESIGN radii may still vary)")
+        super().__init__(lattice, dtype=dtype, **kwargs)
+        nx, ny, nz = lattice.config.num_cells
+        cell_valid = np.zeros((nx, ny, nz), dtype=bool)
+        for pos in lattice.cell_pos:
+            cell_valid[tuple(pos)] = True
+        self._slat = StructuredLattice(
+            lattice.config.geom_types[0], (nx, ny, nz),
+            tuple(lattice.config.cell_size), self.material.young_modulus,
+            self.material.poisson_ratio, dtype=dtype, cell_valid=cell_valid)
+        sl = self._slat
+
+        # map lattice nodes onto the class grids
+        coord_to_cg = {}
+        for c in range(sl.nc):
+            x, y, z = sl.class_pos[c]
+            for idx in np.argwhere(sl.node_valid[c]):
+                key = (round(x[tuple(idx)], 9), round(y[tuple(idx)], 9),
+                       round(z[tuple(idx)], 9))
+                coord_to_cg[key] = (c, tuple(idx))
+        self._node_map = []
+        for i, p in enumerate(lattice.nodes):
+            key = tuple(np.round(p, 9))
+            if key not in coord_to_cg:
+                raise ValueError(f"node {p} not on the class grids")
+            self._node_map.append(coord_to_cg[key])
+
+        def to_field(per_node):  # [N, 6] -> [nc, 6, X, Y, Z]
+            out = np.zeros((sl.nc, 6) + sl.grid, dtype=np.float64)
+            for i, (c, g) in enumerate(self._node_map):
+                out[(c, slice(None)) + g] = per_node[i]
+            return out
+
+        # per-DOF masks: [nc, 6, X, Y, Z]
+        fixed_f = to_field(self.bc.fixed.astype(float)) > 0.5
+        f_field = to_field(self.bc.f_applied)
+        u_imp_field = to_field(self.bc.u_imposed)
+        free_f = np.broadcast_to(sl.node_valid[:, None], fixed_f.shape) & ~fixed_f
+
+        # objective functional over the field representation
+        if self.objective_type == "compliance":
+            obj = None
+        else:
+            sels = [to_field(np.asarray(s)) for s in self._obj_sel]
+            sign = -1.0 if self.objective_function == "max" else 1.0
+            if self.objective_type == "displacement":
+                sel = jnp.asarray(sels[0], dtype)
+                obj = lambda u, f_: sign * jnp.sum(sel * u)
+            else:  # displacement_ratio
+                so = jnp.asarray(sels[0], dtype)
+                si = jnp.asarray(sels[1], dtype)
+                obj = lambda u, f_: sign * -(jnp.sum(so * u) * jnp.sum(si * u))
+
+        # compliance sign: OptimizationProblem._objective_u negates for max
+        sign = -1.0 if (self.objective_type == "compliance"
+                        and self.objective_function == "max") else 1.0
+        self._free_field = free_f
+        self._step = make_structured_compliance_step(
+            sl, free_f, f_field, u_imposed=u_imp_field, objective=obj,
+            tol=self.cg_tol, maxiter=self.cg_maxiter)
+        self._cell_pos_j = jnp.asarray(lattice.cell_pos)
+        raw = self._step.raw
+        free_j, f_j = self._step._operands
+        u0 = jnp.zeros_like(f_j)
+        cell_pos = self._cell_pos_j
+        num_cells = sl.num_cells
+        param = self.param
+
+        def objective_theta(theta):
+            cr = param.cell_radii(theta)[:, 0]         # [C]
+            rf = jnp.zeros(num_cells, dtype=cr.dtype)
+            rf = rf.at[cell_pos[:, 0], cell_pos[:, 1], cell_pos[:, 2]].set(cr)
+            val, _u = raw(rf, free_j, f_j, u0)
+            return sign * val
+
+        self._objective_theta_structured = objective_theta
+        self._value_and_grad = jax.jit(jax.value_and_grad(objective_theta))

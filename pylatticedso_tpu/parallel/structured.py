@@ -273,18 +273,28 @@ class StructuredLattice:
 
 def make_structured_compliance_step(slat: StructuredLattice,
                                     free_mask: np.ndarray, f_ext: np.ndarray,
+                                    u_imposed: Optional[np.ndarray] = None,
+                                    objective=None,
                                     tol: float = 1e-6, maxiter: int = 4000):
-    """value_and_grad of compliance w.r.t. the per-cell radius field.
+    """value_and_grad of an objective w.r.t. the per-cell radius field.
 
-    ``free_mask``: [nc, X, Y, Z] bool (free nodes); ``f_ext``:
-    [nc, 6, X, Y, Z] applied forces.
+    ``free_mask``: [nc, X, Y, Z] bool (free nodes) or [nc, 6, X, Y, Z]
+    bool (free DOFs); ``f_ext``: [nc, 6, X, Y, Z] applied forces;
+    ``u_imposed``: optional nonzero Dirichlet values; ``objective(u, f)``:
+    scalar functional (default: compliance sum(f * u)).
     """
     from ..fem.solve import linear_solve, pcg
 
     matvec, diag_fn = slat.make_matvec()
     dt = slat.dtype
-    free = jnp.asarray(np.broadcast_to(free_mask[:, None], f_ext.shape), dt)
+    free_mask = np.asarray(free_mask)
+    if free_mask.ndim == 4:            # per-node -> per-DOF
+        free_mask = free_mask[:, None]
+    free = jnp.asarray(np.broadcast_to(free_mask, f_ext.shape), dt)
     f = jnp.asarray(f_ext, dt)
+    u_imp = jnp.zeros_like(f) if u_imposed is None else jnp.asarray(u_imposed, dt)
+    if objective is None:
+        objective = lambda u, f_: jnp.sum(f_ * u)
 
     def _solve(radius_field, free, f, u0):
         dg = free * diag_fn(radius_field) + (1.0 - free)
@@ -293,7 +303,7 @@ def make_structured_compliance_step(slat: StructuredLattice,
         def A(u):
             return free * matvec(free * u, radius_field) + (1.0 - free) * u
 
-        b = free * f
+        b = free * (f - matvec(u_imp, radius_field)) + (1.0 - free) * u_imp
         M = lambda r_: r_ / dg
         u0 = jax.lax.stop_gradient(u0)
 
@@ -302,11 +312,12 @@ def make_structured_compliance_step(slat: StructuredLattice,
             # implicit differentiation stays exact
             return pcg(mv, rhs, M=M, x0=u0 * free, maxiter=maxiter, tol=tol).x
 
-        return jax.lax.custom_linear_solve(A, b, solve_fn, symmetric=True)
+        u = jax.lax.custom_linear_solve(A, b, solve_fn, symmetric=True)
+        return free * u + (1.0 - free) * u_imp
 
     def compliance(radius_field, free, f, u0):
         u = _solve(radius_field, free, f, u0)
-        return jnp.sum(f * u), u
+        return objective(u, f), u
 
     vag = jax.jit(jax.value_and_grad(compliance, has_aux=True))
 
@@ -321,6 +332,7 @@ def make_structured_compliance_step(slat: StructuredLattice,
 
     step._jitted = vag
     step._operands = (free, f)
+    step.raw = compliance          # (radius_field, free, f, u0) -> (obj, u)
 
     def step_batch(radius_fields):
         """vmapped design-candidate population: [B, Nx, Ny, Nz] radii."""

@@ -1,0 +1,80 @@
+"""Structured (stencil-operator) optimization path vs the unstructured one."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pylatticedso_tpu import build_lattice
+from pylatticedso_tpu.opti import optimize_lattice
+from pylatticedso_tpu.opti.optimizer import OptimizationProblem
+from pylatticedso_tpu.opti.structured_optimizer import (
+    StructuredOptimizationProblem)
+
+
+def cantilever(nx=3, ny=2, nz=2, geom="Octet", r=0.05, opti=None):
+    cfg = {
+        "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                     "number_of_cells": {"x": nx, "y": ny, "z": nz},
+                     "radii": [r], "geom_types": [geom]},
+        "boundary_conditions": {
+            "Displacement": {"Fixed": {"Surface": ["Xmin"],
+                                       "DOF": ["X", "Y", "Z", "RX", "RY", "RZ"],
+                                       "Value": [0, 0, 0, 0, 0, 0]}},
+            "Force": {"Load": {"Surface": ["Xmax"], "DOF": ["Z"],
+                               "Value": [-0.1]}}}}
+    if opti:
+        cfg["optimization_informations"] = opti
+    return build_lattice(cfg)
+
+
+OPT = {"type": "unit_cell"}
+CON = {"relative_density": {"value": 0.10, "mode": "upper"}}
+
+
+def test_structured_matches_unstructured_value_and_grad():
+    lat = cantilever()
+    up = OptimizationProblem(lat, opt_params=OPT, constraints=CON)
+    sp = StructuredOptimizationProblem(lat, opt_params=OPT, constraints=CON)
+    x0 = jnp.asarray(np.asarray(sp.param.x0) * 0.9 + 0.03)
+    vs, gs = sp._value_and_grad(x0)
+    vu, gu = up._value_and_grad(x0)
+    np.testing.assert_allclose(float(vs), float(vu), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gu), rtol=1e-8)
+
+
+def test_structured_slsqp_runs_and_respects_density():
+    lat = cantilever()
+    sp = StructuredOptimizationProblem(lat, opt_params=OPT, constraints=CON)
+    res = sp.optimize_slsqp(max_iterations=5)
+    assert res.iterations >= 1
+    assert res.density < 0.10 + 1e-2
+    assert np.isfinite(res.objective) and res.objective > 0
+    # radii stay within the parameterization bounds
+    assert np.all(res.radii >= sp.param.min_radius - 1e-12)
+    assert np.all(res.radii <= sp.param.max_radius + 1e-12)
+
+
+def test_structured_rejects_multi_geometry():
+    lat = build_lattice({
+        "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                     "number_of_cells": {"x": 2, "y": 1, "z": 1},
+                     "radii": [0.05, 0.04], "geom_types": ["BCC", "Octet"]},
+        "boundary_conditions": {
+            "Displacement": {"Fixed": {"Surface": ["Xmin"],
+                                       "DOF": ["X", "Y", "Z", "RX", "RY", "RZ"],
+                                       "Value": [0, 0, 0, 0, 0, 0]}},
+            "Force": {"Load": {"Surface": ["Xmax"], "DOF": ["Z"],
+                               "Value": [-0.1]}}}})
+    with pytest.raises(ValueError):
+        StructuredOptimizationProblem(lat, opt_params=OPT, constraints=CON)
+
+
+def test_optimize_lattice_routes_structured():
+    opti = {"simulation_type": "FEM_AUTO",
+            "objective_type": "compliance", "objective_function": "min",
+            "optimization_parameters": {"type": "unit_cell"},
+            "constraints": CON, "max_iterations": 3}
+    lat = cantilever(nx=2, ny=1, nz=1, geom="BCC", opti=opti)
+    problem, res = optimize_lattice(lat)
+    assert isinstance(problem, StructuredOptimizationProblem)
+    assert res.iterations >= 1
