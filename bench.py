@@ -45,8 +45,13 @@ def run_structured(n: int):
     for c in range(sl.nc):
         f[c, 2][top[c]] = -1.0 / n_top
 
+    precond = os.environ.get("BENCH_PRECOND", "jacobi")
+    mg_opts = {"nu": int(os.environ.get("BENCH_MG_NU", "2")),
+               "coarse_degree": int(os.environ.get("BENCH_MG_COARSE", "24")),
+               "smooth_frac": float(os.environ.get("BENCH_MG_FRAC", "0.25"))}
     step = make_structured_compliance_step(sl, free, f, tol=tol,
-                                           maxiter=maxiter)
+                                           maxiter=maxiter, precond=precond,
+                                           mg_opts=mg_opts)
     r0 = jnp.full(sl.num_cells, 0.05, dtype=jnp.float32)
     c, g, u = step(r0)
     jax.block_until_ready((c, g, u))
@@ -74,6 +79,7 @@ def run_structured(n: int):
             "total_loop_s": round(total, 3),
             "host_build_s": round(build_s, 2),
             "cg_tol": tol,
+            "precond": precond,
         },
     }))
 

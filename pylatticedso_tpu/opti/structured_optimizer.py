@@ -24,7 +24,10 @@ __all__ = ["StructuredOptimizationProblem"]
 
 
 class StructuredOptimizationProblem(OptimizationProblem):
-    def __init__(self, lattice: Lattice, dtype=jnp.float64, **kwargs):
+    def __init__(self, lattice: Lattice, dtype=jnp.float64,
+                 precond: str = "jacobi", mg_opts: Optional[dict] = None,
+                 **kwargs):
+        self._precond, self._mg_opts = precond, mg_opts
         if lattice.config.n_geom != 1:
             raise ValueError("structured path requires a single geometry")
         if not lattice.are_cells_identical():
@@ -88,7 +91,8 @@ class StructuredOptimizationProblem(OptimizationProblem):
         self._free_field = free_f
         self._step = make_structured_compliance_step(
             sl, free_f, f_field, u_imposed=u_imp_field, objective=obj,
-            tol=self.cg_tol, maxiter=self.cg_maxiter)
+            tol=self.cg_tol, maxiter=self.cg_maxiter,
+            precond=self._precond, mg_opts=self._mg_opts)
         self._cell_pos_j = jnp.asarray(lattice.cell_pos)
         raw = self._step.raw
         free_j, f_j = self._step._operands

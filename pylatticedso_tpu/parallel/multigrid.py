@@ -1,0 +1,304 @@
+"""Geometric multigrid preconditioner for the structured stencil operator.
+
+The BASELINE 50^3 problem spends its time in ~500 Jacobi-PCG iterations: a
+uniform lattice is homogenizable, so its low-frequency error modes are those
+of an elastic continuum, and a point smoother cannot damp them.  The fix is
+the classical one, done lattice-natively:
+
+* **coarse hierarchy** — a lattice of 2x-larger cells with 2x radii has the
+  same relative density hence the same homogenized moduli; its stencil
+  operator is spectrally equivalent to the Galerkin coarse operator of the
+  fine lattice (continuum limit), at 1/8 the cost.  Coarse per-cell radii
+  are the (validity-weighted) mean of each 2x2x2 fine block, doubled.
+* **transfers** — each node class lives on its own regular grid, so
+  prolongation is plain per-class trilinear interpolation (factor 2) and
+  restriction is its exact transpose (``jax.linear_transpose``), keeping the
+  V-cycle symmetric.  The sub-cell offset between coarse and fine class
+  positions makes this an O(h) (aggregation-quality) transfer — fine for a
+  preconditioner.
+* **smoother** — Chebyshev(deg nu) with Jacobi scaling on the interval
+  [lmax/4, lmax]; lmax of D^-1 A estimated per level with a fixed-length
+  power iteration inside the trace.  Polynomial smoothers are symmetric
+  positive operators, so the V(nu,nu)-cycle is SPD and valid inside plain
+  (non-flexible) CG.
+
+Everything is jit-traceable: the hierarchy (shapes, stencils, masks) is
+static; only the per-level radius fields and eigenvalue estimates are traced
+values, re-derived from the design radii each solve.
+
+Reference capability covered: the solver behind FEM simulation/optimization
+(reference solves with SciPy sparse Cholesky / PETSc; lattice_sim.py); this
+is its scalable TPU replacement.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["build_mg_hierarchy", "mg_preconditioner"]
+
+
+# ---------------------------------------------------------------- transfers
+def _prolong1(c: jnp.ndarray, X: int, axis: int, frac: float) -> jnp.ndarray:
+    """1-D linear interpolation coarse->fine along ``axis`` (factor 2),
+    offset-aware.
+
+    A class with fractional template coordinate ``frac`` has its fine node p
+    at physical (p + frac) h and its coarse node i at (2i + 2 frac) h, so the
+    fine sample interpolates the coarse field at t = (p - frac) / 2 — NOT at
+    p/2.  Ignoring the offset makes the transfer first-order only and CG
+    iteration counts grow with N; honoring it keeps them near
+    mesh-independent.  Boundary samples extrapolate linearly (offset classes
+    have fine nodes outside the coarse sample hull; clamping would break
+    affine exactness in the boundary layer).
+    """
+    c = jnp.moveaxis(c, axis, -1)
+    C = c.shape[-1]
+    lo = 2.0 * c[..., :1] - c[..., 1:2] if C > 1 else c[..., :1]
+    hi = 2.0 * c[..., -1:] - c[..., -2:-1] if C > 1 else c[..., -1:]
+    cpad = jnp.concatenate([lo, c, hi], axis=-1)
+    out = jnp.zeros(c.shape[:-1] + (2 * C,), c.dtype)
+    for parity in (0, 1):
+        delta = (parity - frac) / 2.0           # t = m + delta, p = 2m+parity
+        if delta >= 0:
+            w0, w1, base = 1.0 - delta, delta, 0        # c[m], c[m+1]
+        else:
+            w0, w1, base = -delta, 1.0 + delta, -1      # c[m-1], c[m]
+        v = (w0 * cpad[..., 1 + base:1 + base + C]
+             + w1 * cpad[..., 2 + base:2 + base + C])
+        out = out.at[..., parity::2].set(v)
+    return jnp.moveaxis(out[..., :X], -1, axis)
+
+
+def make_transfers(fine_grid: Tuple[int, int, int],
+                   coarse_grid: Tuple[int, int, int],
+                   class_keys: np.ndarray):
+    """(prolong, restrict) for [nc, 6, X, Y, Z] class fields.
+
+    Each class interpolates with its own per-axis sub-cell offsets
+    (``class_keys`` [nc, 3], fractions in [0, 1)).  restrict == prolong^T
+    exactly (``jax.linear_transpose``), which the symmetry of the V-cycle
+    preconditioner requires.
+    """
+    X, Y, Z = fine_grid
+    keys = np.asarray(class_keys, dtype=float)
+
+    def prolong(c):
+        outs = []
+        for ci in range(c.shape[0]):
+            fx, fy, fz = keys[ci]
+            f = _prolong1(c[ci:ci + 1], X, 2, float(fx))
+            f = _prolong1(f, Y, 3, float(fy))
+            outs.append(_prolong1(f, Z, 4, float(fz)))
+        return jnp.concatenate(outs, axis=0)
+
+    def restrict(f):
+        # transpose w.r.t. the standard inner product; shape-specialized
+        shape = f.shape[:2] + tuple(coarse_grid)
+        t = jax.linear_transpose(prolong, jax.ShapeDtypeStruct(shape, f.dtype))
+        return t(f)[0]
+
+    return prolong, restrict
+
+
+def _coarsen_cells(n: Tuple[int, int, int]) -> Tuple[int, int, int]:
+    return tuple(max(1, -(-ni // 2)) for ni in n)
+
+
+def _coarse_cell_valid(valid: np.ndarray) -> np.ndarray:
+    nx, ny, nz = valid.shape
+    cx, cy, cz = _coarsen_cells((nx, ny, nz))
+    pad = np.zeros((2 * cx, 2 * cy, 2 * cz), dtype=bool)
+    pad[:nx, :ny, :nz] = valid
+    return (pad.reshape(cx, 2, cy, 2, cz, 2).sum(axis=(1, 3, 5)) > 0)
+
+
+def make_radius_restrictor(valid: np.ndarray):
+    """Coarse per-cell radii: validity-weighted 2x2x2 mean, doubled.
+
+    Doubling keeps r/L (hence relative density and homogenized moduli)
+    constant across levels, which is what makes the coarse stencil operator
+    spectrally equivalent to the Galerkin one.
+    """
+    nx, ny, nz = valid.shape
+    cx, cy, cz = _coarsen_cells((nx, ny, nz))
+    w = np.zeros((2 * cx, 2 * cy, 2 * cz))
+    w[:nx, :ny, :nz] = valid.astype(float)
+    cnt = w.reshape(cx, 2, cy, 2, cz, 2).sum(axis=(1, 3, 5))
+    cnt = np.maximum(cnt, 1.0)
+    w_j = jnp.asarray(w)
+    cnt_j = jnp.asarray(cnt)
+
+    def restrict_radius(r):
+        p = jnp.zeros((2 * cx, 2 * cy, 2 * cz), r.dtype)
+        p = p.at[:nx, :ny, :nz].set(r)
+        p = p * w_j.astype(r.dtype)
+        s = p.reshape(cx, 2, cy, 2, cz, 2).sum(axis=(1, 3, 5))
+        return 2.0 * s / cnt_j.astype(r.dtype)
+
+    return restrict_radius
+
+
+# ---------------------------------------------------------------- hierarchy
+class MGLevel:
+    def __init__(self, slat, free_field: np.ndarray):
+        from .structured import StructuredLattice  # noqa: F401 (type only)
+        self.slat = slat
+        self.matvec, self.diag_fn = slat.make_matvec()
+        fm = np.asarray(free_field)
+        if fm.ndim == 4:
+            fm = np.broadcast_to(fm[:, None], (slat.nc, 6) + slat.grid)
+        self.free = jnp.asarray(fm, slat.dtype)
+
+    def A(self, u, radius):
+        f = self.free
+        return f * self.matvec(f * u, radius) + (1.0 - f) * u
+
+    def D(self, radius):
+        f = self.free
+        d = f * self.diag_fn(radius) + (1.0 - f)
+        return jnp.where(d == 0, 1.0, d)
+
+
+def build_mg_hierarchy(slat, free_field: np.ndarray, min_cells: int = 3,
+                       max_levels: int = 10) -> dict:
+    """Static multilevel structure for a StructuredLattice.
+
+    Coarse Dirichlet/validity masks are the even-index subsample of the fine
+    ones (coarse class node (i,j,k) corresponds to fine (2i,2j,2k)), ANDed
+    with the coarse lattice's own node validity.
+    """
+    from .structured import StructuredLattice
+
+    levels: List[MGLevel] = [MGLevel(slat, free_field)]
+    prolongs: List[Callable] = []
+    restricts: List[Callable] = []
+    rad_restrictors: List[Callable] = []
+
+    cur, cur_free = slat, np.asarray(free_field)
+    if cur_free.ndim == 4:
+        cur_free = np.broadcast_to(cur_free[:, None],
+                                   (slat.nc, 6) + slat.grid).copy()
+    while max(cur.num_cells) > min_cells and len(levels) < max_levels:
+        n_c = _coarsen_cells(cur.num_cells)
+        cv_c = _coarse_cell_valid(np.asarray(cur.cell_valid))
+        coarse = StructuredLattice(
+            cur.geom, n_c, tuple(2.0 * np.asarray(cur.cell_size)),
+            cur.E_mod, cur.nu, kappa=cur.kappa, dtype=cur.dtype,
+            cell_valid=cv_c)
+        # even-index subsample, clamped to the coarse grid extent
+        cx, cy, cz = coarse.grid
+        sub = cur_free[:, :, 0::2, 0::2, 0::2][:, :, :cx, :cy, :cz]
+        if sub.shape[2:] != coarse.grid:
+            padded = np.zeros((cur.nc, 6) + coarse.grid, dtype=bool)
+            padded[:, :, :sub.shape[2], :sub.shape[3], :sub.shape[4]] = sub
+            sub = padded
+        free_c = sub & np.broadcast_to(coarse.node_valid[:, None], sub.shape)
+
+        rad_restrictors.append(make_radius_restrictor(np.asarray(cur.cell_valid)))
+        p, r = make_transfers(cur.grid, coarse.grid, cur.class_keys)
+        prolongs.append(p)
+        restricts.append(r)
+        levels.append(MGLevel(coarse, free_c))
+        cur, cur_free = coarse, free_c
+
+    return {"levels": levels, "prolong": prolongs, "restrict": restricts,
+            "restrict_radius": rad_restrictors}
+
+
+# ------------------------------------------------------------- smoothing
+def _estimate_lmax(A: Callable, D: jnp.ndarray, shape, dtype,
+                   iters: int = 10) -> jnp.ndarray:
+    """lmax(D^-1 A) via power iteration with a deterministic start."""
+    n = int(np.prod(shape))
+    v = 1.0 + 0.5 * jnp.sin(jnp.arange(n, dtype=dtype) * 0.7)
+    v = v.reshape(shape)
+    v = v / jnp.linalg.norm(v.ravel())
+
+    def body(_, v):
+        w = A(v) / D
+        return w / jnp.maximum(jnp.linalg.norm(w.ravel()), 1e-30)
+
+    v = jax.lax.fori_loop(0, iters, body, v)
+    w = A(v) / D
+    lam = jnp.vdot(v.ravel(), w.ravel()) / jnp.vdot(v.ravel(), v.ravel())
+    return 1.1 * lam
+
+
+def _chebyshev(A: Callable, D: jnp.ndarray, b: jnp.ndarray,
+               x0: Optional[jnp.ndarray], lmax, lmin_frac: float,
+               degree: int) -> jnp.ndarray:
+    """Chebyshev semi-iteration for A x = b, Jacobi-scaled, on
+    [lmax * lmin_frac, lmax].  A polynomial in D^-1 A applied to D^-1 r:
+    symmetric positive as an operator, hence V-cycle-safe.
+    """
+    lmin = lmax * lmin_frac
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - A(x) if x0 is not None else b
+    d = (r / D) / theta
+
+    def body(_, carry):
+        x, r, d, rho = carry
+        x = x + d
+        r = r - A(d)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (r / D)
+        return x, r, d, rho_new
+
+    # fori_loop keeps the smoother's matvec compiled once per level instead
+    # of unrolled `degree` times — V-cycle graphs get big fast otherwise
+    x, _, d, _ = jax.lax.fori_loop(
+        0, degree, body, (x, r, d, jnp.asarray(1.0 / sigma, b.dtype)))
+    return x + d
+
+
+# ------------------------------------------------------------- V-cycle
+def mg_preconditioner(h: dict, radius_field: jnp.ndarray, nu: int = 2,
+                      coarse_degree: int = 24,
+                      smooth_frac: float = 0.25) -> Callable:
+    """Symmetric V(nu,nu)-cycle preconditioner M(r) for PCG.
+
+    Per-level radii and lmax estimates are derived from ``radius_field``
+    once per call (a handful of extra matvecs, amortized over the solve).
+    Wrap in ``stop_gradient`` by the caller if used inside a differentiated
+    region — a preconditioner never affects the fixed point.
+    """
+    levels: List[MGLevel] = h["levels"]
+    nL = len(levels)
+
+    radii = [jnp.asarray(radius_field, levels[0].slat.dtype)]
+    for rr in h["restrict_radius"]:
+        radii.append(rr(radii[-1]))
+
+    lmaxs = []
+    for lvl, rad in zip(levels, radii):
+        D = lvl.D(rad)
+        Af = lambda u, _l=lvl, _r=rad: _l.A(u, _r)
+        lmaxs.append(_estimate_lmax(Af, D, D.shape, levels[0].slat.dtype))
+
+    Ds = [lvl.D(rad) for lvl, rad in zip(levels, radii)]
+
+    def vcycle(level: int, b: jnp.ndarray) -> jnp.ndarray:
+        lvl, rad, D, lmax = levels[level], radii[level], Ds[level], lmaxs[level]
+        Af = lambda u: lvl.A(u, rad)
+        if level == nL - 1:
+            # coarsest: aggressive Chebyshev over (almost) the full spectrum
+            return _chebyshev(Af, D, b, None, lmax, 1.0 / 64.0, coarse_degree)
+        x = _chebyshev(Af, D, b, None, lmax, smooth_frac, nu)       # pre
+        r = b - Af(x)
+        rc = levels[level + 1].free * h["restrict"][level](r)
+        ec = vcycle(level + 1, rc)
+        x = x + lvl.free * h["prolong"][level](levels[level + 1].free * ec)
+        return _chebyshev(Af, D, b, x, lmax, smooth_frac, nu)       # post
+
+    def M(r):
+        return vcycle(0, r)
+
+    return M

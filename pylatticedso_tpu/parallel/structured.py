@@ -275,13 +275,17 @@ def make_structured_compliance_step(slat: StructuredLattice,
                                     free_mask: np.ndarray, f_ext: np.ndarray,
                                     u_imposed: Optional[np.ndarray] = None,
                                     objective=None,
-                                    tol: float = 1e-6, maxiter: int = 4000):
+                                    tol: float = 1e-6, maxiter: int = 4000,
+                                    precond: str = "jacobi",
+                                    mg_opts: Optional[dict] = None):
     """value_and_grad of an objective w.r.t. the per-cell radius field.
 
     ``free_mask``: [nc, X, Y, Z] bool (free nodes) or [nc, 6, X, Y, Z]
     bool (free DOFs); ``f_ext``: [nc, 6, X, Y, Z] applied forces;
     ``u_imposed``: optional nonzero Dirichlet values; ``objective(u, f)``:
-    scalar functional (default: compliance sum(f * u)).
+    scalar functional (default: compliance sum(f * u)); ``precond``:
+    "jacobi" or "mg" (geometric multigrid V-cycle — mesh-independent CG
+    iteration counts, ~6 extra matvecs per iteration; wins at large N).
     """
     from ..fem.solve import linear_solve, pcg
 
@@ -291,6 +295,14 @@ def make_structured_compliance_step(slat: StructuredLattice,
     if free_mask.ndim == 4:            # per-node -> per-DOF
         free_mask = free_mask[:, None]
     free = jnp.asarray(np.broadcast_to(free_mask, f_ext.shape), dt)
+
+    if precond not in ("jacobi", "mg"):
+        raise ValueError(f"unknown precond {precond!r}: use 'jacobi' or 'mg'")
+    mg_hier = None
+    if precond == "mg":
+        from .multigrid import build_mg_hierarchy, mg_preconditioner
+        mg_hier = build_mg_hierarchy(
+            slat, np.broadcast_to(free_mask, f_ext.shape))
     f = jnp.asarray(f_ext, dt)
     u_imp = jnp.zeros_like(f) if u_imposed is None else jnp.asarray(u_imposed, dt)
     if objective is None:
@@ -304,7 +316,14 @@ def make_structured_compliance_step(slat: StructuredLattice,
             return free * matvec(free * u, radius_field) + (1.0 - free) * u
 
         b = free * (f - matvec(u_imp, radius_field)) + (1.0 - free) * u_imp
-        M = lambda r_: r_ / dg
+        if mg_hier is not None:
+            from .multigrid import mg_preconditioner
+            # preconditioner never moves the fixed point: detach its radii
+            M = mg_preconditioner(mg_hier,
+                                  jax.lax.stop_gradient(radius_field),
+                                  **(mg_opts or {}))
+        else:
+            M = lambda r_: r_ / dg
         u0 = jax.lax.stop_gradient(u0)
 
         def solve_fn(mv, rhs):
