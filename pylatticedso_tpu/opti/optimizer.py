@@ -166,13 +166,16 @@ class OptimizationProblem:
         elif self.objective_type == "displacement":
             (sel_out,) = self._obj_sel
             mean_disp = jnp.sum(sel_out * u)
-            obj = mean_disp
+            # reference applies min/max only to the displacement objective
+            # (lattice_opti.py:608-613); compliance and displacement_ratio
+            # ignore objective_function there.
+            obj = -mean_disp if self.objective_function == "max" else mean_disp
         elif self.objective_type == "displacement_ratio":
             sel_out, sel_in = self._obj_sel
             obj = -(jnp.sum(sel_out * u) * jnp.sum(sel_in * u))
         else:
             raise ValueError(self.objective_type)
-        return -obj if self.objective_function == "max" else obj
+        return obj
 
     def _objective_theta(self, theta: jnp.ndarray) -> jnp.ndarray:
         r_e = self.param.edge_radius(theta, self._edge_cell, self._edge_type)

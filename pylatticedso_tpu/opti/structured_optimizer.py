@@ -76,18 +76,18 @@ class StructuredOptimizationProblem(OptimizationProblem):
             obj = None
         else:
             sels = [to_field(np.asarray(s)) for s in self._obj_sel]
-            sign = -1.0 if self.objective_function == "max" else 1.0
             if self.objective_type == "displacement":
+                # min/max applies only to displacement, matching the
+                # reference (lattice_opti.py:608-613) and _objective_u.
+                # Bind the sign eagerly (default arg) — a late-bound
+                # closure here once silently picked up a rebound name.
+                disp_sign = -1.0 if self.objective_function == "max" else 1.0
                 sel = jnp.asarray(sels[0], dtype)
-                obj = lambda u, f_: sign * jnp.sum(sel * u)
-            else:  # displacement_ratio
+                obj = lambda u, f_, s=disp_sign: s * jnp.sum(sel * u)
+            else:  # displacement_ratio: objective_function is ignored
                 so = jnp.asarray(sels[0], dtype)
                 si = jnp.asarray(sels[1], dtype)
-                obj = lambda u, f_: sign * -(jnp.sum(so * u) * jnp.sum(si * u))
-
-        # compliance sign: OptimizationProblem._objective_u negates for max
-        sign = -1.0 if (self.objective_type == "compliance"
-                        and self.objective_function == "max") else 1.0
+                obj = lambda u, f_: -(jnp.sum(so * u) * jnp.sum(si * u))
         self._free_field = free_f
         self._step = make_structured_compliance_step(
             sl, free_f, f_field, u_imposed=u_imp_field, objective=obj,
@@ -106,7 +106,7 @@ class StructuredOptimizationProblem(OptimizationProblem):
             rf = jnp.zeros(num_cells, dtype=cr.dtype)
             rf = rf.at[cell_pos[:, 0], cell_pos[:, 1], cell_pos[:, 2]].set(cr)
             val, _u = raw(rf, free_j, f_j, u0)
-            return sign * val
+            return val
 
         self._objective_theta_structured = objective_theta
         self._value_and_grad = jax.jit(jax.value_and_grad(objective_theta))

@@ -353,12 +353,15 @@ def make_structured_compliance_step(slat: StructuredLattice,
     step._operands = (free, f)
     step.raw = compliance          # (radius_field, free, f, u0) -> (obj, u)
 
+    # built once so repeated step_batch calls hit the jit cache (a fresh
+    # jit-wrapped closure per call would recompile every invocation)
+    vag_batch = jax.jit(jax.vmap(jax.value_and_grad(compliance, has_aux=True),
+                                 in_axes=(0, None, None, None)))
+
     def step_batch(radius_fields):
         """vmapped design-candidate population: [B, Nx, Ny, Nz] radii."""
         u0 = jnp.zeros_like(f)
-        fn = jax.jit(jax.vmap(jax.value_and_grad(compliance, has_aux=True),
-                              in_axes=(0, None, None, None)))
-        (c, u), g = fn(radius_fields, free, f, u0)
+        (c, u), g = vag_batch(radius_fields, free, f, u0)
         return c, g
 
     step.batch = step_batch

@@ -54,6 +54,31 @@ def test_structured_slsqp_runs_and_respects_density():
     assert np.all(res.radii <= sp.param.max_radius + 1e-12)
 
 
+@pytest.mark.parametrize("objective_type", ["displacement", "displacement_ratio"])
+@pytest.mark.parametrize("objective_function", ["min", "max"])
+def test_structured_matches_unstructured_displacement_objectives(
+        objective_type, objective_function):
+    """Sign parity for displacement objectives under min/max (the 'max'
+    negation must apply only to 'displacement', and identically on both
+    paths — guards the late-binding closure regression)."""
+    lat = cantilever(nx=2, ny=1, nz=1, geom="BCC")
+    obj_data = {"Surface": ["Xmax"], "DOF": ["Z"]}
+    kw = dict(objective_type=objective_type,
+              objective_function=objective_function,
+              objective_data=obj_data, opt_params=OPT, constraints={})
+    up = OptimizationProblem(lat, **kw)
+    sp = StructuredOptimizationProblem(lat, **kw)
+    x0 = jnp.asarray(np.asarray(sp.param.x0) * 0.9 + 0.03)
+    vs, gs = sp._value_and_grad(x0)
+    vu, gu = up._value_and_grad(x0)
+    np.testing.assert_allclose(float(vs), float(vu), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gu), rtol=1e-7)
+    if objective_type == "displacement":
+        # under a -Z tip load the mean Z displacement is negative; 'min'
+        # keeps it, 'max' negates (reference lattice_opti.py:608-613)
+        assert (float(vs) < 0) == (objective_function == "min")
+
+
 def test_structured_rejects_multi_geometry():
     lat = build_lattice({
         "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
