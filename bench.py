@@ -45,7 +45,9 @@ def run_structured(n: int):
     for c in range(sl.nc):
         f[c, 2][top[c]] = -1.0 / n_top
 
-    precond = os.environ.get("BENCH_PRECOND", "jacobi")
+    # geometric multigrid: 0.92 s/iter at 50^3 on one v5e vs 2.41 s with
+    # jacobi (measured 2026-08-16, default mg_opts)
+    precond = os.environ.get("BENCH_PRECOND", "mg")
     mg_opts = {"nu": int(os.environ.get("BENCH_MG_NU", "2")),
                "coarse_degree": int(os.environ.get("BENCH_MG_COARSE", "24")),
                "smooth_frac": float(os.environ.get("BENCH_MG_FRAC", "0.25"))}

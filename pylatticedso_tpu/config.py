@@ -20,6 +20,7 @@ __all__ = ["LatticeConfig", "GradientSpec", "load_config", "open_lattice_paramet
 
 _SEARCH_DIRS = [
     Path("."),
+    Path("data/inputs/preset_lattice"),   # "design/L_logo"-style names
     Path("data/inputs/preset_lattice/design"),
     Path("data/inputs/preset_lattice/simulation"),
     Path("data/inputs/preset_lattice/optimization"),
