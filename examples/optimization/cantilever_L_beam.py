@@ -21,11 +21,14 @@ from pylatticedso_tpu import build_lattice
 from pylatticedso_tpu.opti.ddm_optimizer import DDMOptimizationProblem
 
 GRID_STEP = float(os.environ.get("LBEAM_GRID_STEP", "0.01"))
+# reference expe: 3 geometries, 27 cells -> 81 parameters
+N_GEOM = int(os.environ.get("LBEAM_N_GEOM", "3"))
+GEOMS = ["BCC", "Hybrid1", "Hybrid4"][:N_GEOM]
 
 lattice = build_lattice({
     "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
                  "number_of_cells": {"x": 6, "y": 1, "z": 6},
-                 "radii": [0.1, 0.1], "geom_types": ["BCC", "Hybrid1"]},
+                 "radii": [0.1] * N_GEOM, "geom_types": GEOMS},
     "supplementary": {"erased_blocks": {"block_0": {
         "start_point": {"x": 3.0, "y": 0.0, "z": 3.0},
         "dimensions_block": {"x": 3.0, "y": 1.0, "z": 3.0}}}},
@@ -54,7 +57,8 @@ print(f"offline (Schur grid + RB + RBF): {t_offline:.1f} s; "
       f"RB size {problem._surrogate.basis.shape[1]}")
 
 t0 = time.time()
-result = problem.optimize_slsqp(max_iterations=50)
+# reference expe optimizer settings: SLSQP, max 50 iterations, ftol 1e-6
+result = problem.optimize_slsqp(max_iterations=50, ftol=1e-6)
 t_online = time.time() - t0
 print(f"online SLSQP: {t_online:.1f} s, {result.iterations} iterations")
 print(f"compliance {result.objective:.6e}, density {result.density:.4f}")

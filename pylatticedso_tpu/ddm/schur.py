@@ -27,7 +27,8 @@ from ..sim.boundary_order import boundary_node_order
 from ..sim.penalization import compute_l_zones, penalize_edges
 
 __all__ = ["CellDiscretization", "discretize_cell", "schur_complement",
-           "schur_batch"]
+           "schur_batch", "ChainedCellDiscretization", "discretize_cell_chained",
+           "schur_complement_chained", "schur_batch_chained"]
 
 
 class CellDiscretization:
@@ -154,4 +155,156 @@ def schur_complement(disc: CellDiscretization, radii_per_type, E, nu,
 def schur_batch(disc: CellDiscretization, radii_batch, E, nu, dtype=None) -> jnp.ndarray:
     """vmapped condensation over a [n_samples, n_geom] radius batch."""
     f = partial(schur_complement, disc, E=E, nu=nu, dtype=dtype)
+    return jax.vmap(f)(jnp.asarray(radii_batch, dtype=dtype))
+
+
+# ---------------------------------------------------------------------------
+# Chained condensation: exploit that the reference's subdivision (gmsh rule,
+# ceil(L/0.05) collinear segments per strut) only adds interior nodes along
+# straight uniform chains.  Eliminating those chain nodes per beam FIRST is
+# algebraically exact (Schur of a Schur is the Schur), reduces the final
+# interior block from thousands of DOFs to the cell's junction nodes, and —
+# because all segments of a beam are identical — costs O(log n) 6x6 solves
+# per beam via binary doubling.  This makes dense radius-grid sweeps for the
+# surrogate offline stage (lattice_sim.py:846-919) ~1000x cheaper with
+# machine-precision agreement.
+# ---------------------------------------------------------------------------
+class ChainedCellDiscretization:
+    """Parent-graph discretization with per-beam segment counts."""
+
+    def __init__(self, nodes, edges, edge_type, weight, n_seg,
+                 boundary_dofs, interior_dofs, n_boundary_nodes,
+                 boundary_nodes):
+        self.nodes = np.asarray(nodes)
+        self.edges = np.asarray(edges, dtype=np.int32)
+        self.edge_type = np.asarray(edge_type)
+        self.weight = np.asarray(weight)
+        self.n_seg = np.asarray(n_seg, dtype=np.int64)
+        self.boundary_dofs = np.asarray(boundary_dofs)
+        self.interior_dofs = np.asarray(interior_dofs)
+        self.n_boundary_nodes = n_boundary_nodes
+        self.boundary_nodes = np.asarray(boundary_nodes)
+
+
+def discretize_cell_chained(lattice, cell_index: int = 0,
+                            target_h: Optional[float] = None,
+                            periodicity: Optional[bool] = None,
+                            share_weights: bool = False) -> ChainedCellDiscretization:
+    """Chained-condensation twin of ``discretize_cell`` (penalization-free:
+    a penalized beam's end zones break segment uniformity)."""
+    from ..fem.subdivide import segment_counts
+
+    c = cell_index
+    eids = lattice.cell_edge_idx[lattice.cell_edge_ptr[c]:lattice.cell_edge_ptr[c + 1]]
+    nids = lattice.cell_node_idx[lattice.cell_node_ptr[c]:lattice.cell_node_ptr[c + 1]]
+    remap = -np.ones(lattice.num_nodes, dtype=np.int64)
+    remap[nids] = np.arange(len(nids))
+    nodes = lattice.nodes[nids]
+    edges = remap[lattice.edges[eids]].astype(np.int32)
+    etype = lattice.edge_type[eids]
+    if share_weights:
+        mult = np.bincount(lattice.cell_edge_idx, minlength=lattice.num_edges)
+        weight = 1.0 / mult[eids]
+    else:
+        weight = np.ones(len(eids))
+    if target_h is None:
+        target_h = 0.05 * lattice.config.cell_size[0]
+    lengths = np.linalg.norm(nodes[edges[:, 1]] - nodes[edges[:, 0]], axis=1)
+    n_seg = segment_counts(lengths, target_h)
+
+    o = lattice.cell_origin[c]
+    s = lattice.cell_size[c]
+    bbox = [o[0], o[0] + s[0], o[1], o[1] + s[1], o[2], o[2] + s[2]]
+    b_nodes = boundary_node_order(nodes, bbox)
+    b_dofs = (b_nodes[:, None] * 6 + np.arange(6)).reshape(-1)
+    i_dofs = np.setdiff1d(np.arange(6 * len(nodes)), b_dofs)
+    return ChainedCellDiscretization(nodes, edges, etype, weight, n_seg,
+                                     b_dofs, i_dofs, len(b_nodes), b_nodes)
+
+
+def _chain_combine(KA: jnp.ndarray, KB: jnp.ndarray) -> jnp.ndarray:
+    """Concatenate two chain end-stiffness blocks [..., 12, 12], eliminating
+    the shared middle node (6 DOF)."""
+    M = KA[..., 6:, 6:] + KB[..., :6, :6]
+    XA = jnp.linalg.solve(M, KA[..., 6:, :6])        # [..., 6, 6]
+    XB = jnp.linalg.solve(M, KB[..., :6, 6:])
+    Kaa = KA[..., :6, :6] - KA[..., :6, 6:] @ XA
+    Kab = -KA[..., :6, 6:] @ XB
+    Kba = -KB[..., 6:, :6] @ XA
+    Kbb = KB[..., 6:, 6:] - KB[..., 6:, :6] @ XB
+    top = jnp.concatenate([Kaa, Kab], axis=-1)
+    bot = jnp.concatenate([Kba, Kbb], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _chain_power(k_seg: jnp.ndarray, n: int) -> jnp.ndarray:
+    """End-stiffness of n identical segments in series (binary doubling;
+    chain concatenation is associative)."""
+    result = None
+    P = k_seg
+    while n:
+        if n & 1:
+            result = P if result is None else _chain_combine(result, P)
+        n >>= 1
+        if n:
+            P = _chain_combine(P, P)
+    return result
+
+
+def schur_complement_chained(disc: ChainedCellDiscretization, radii_per_type,
+                             E, nu, dtype=None) -> jnp.ndarray:
+    """Schur complement via per-beam chain condensation.
+
+    Matches ``schur_complement`` on the subdivided mesh to machine precision
+    (same discretization, different — exact — elimination order), at
+    O(junction DOFs) instead of O(subdivided DOFs) dense cost.
+    """
+    from ..fem.elements import element_stiffness_dense
+
+    nodes = jnp.asarray(disc.nodes, dtype=dtype)
+    edges = jnp.asarray(disc.edges, dtype=jnp.int32)
+    r_elem = jnp.asarray(radii_per_type, dtype=dtype)[disc.edge_type]
+
+    # per-parent segment element: endpoints at a and a + (b - a)/n
+    pa = nodes[edges[:, 0]]
+    pb = nodes[edges[:, 1]]
+    n_seg = disc.n_seg
+    seg_b = pa + (pb - pa) / jnp.asarray(n_seg, dtype=pa.dtype)[:, None]
+    seg_nodes = jnp.concatenate([pa, seg_b], axis=0)
+    P = edges.shape[0]
+    seg_edges = jnp.stack([jnp.arange(P, dtype=jnp.int32),
+                           jnp.arange(P, 2 * P, dtype=jnp.int32)], axis=1)
+    k_seg = element_stiffness_dense(seg_nodes, seg_edges, r_elem, E, nu)
+
+    # group parents by segment count -> one doubling per unique n
+    K_eff = jnp.zeros_like(k_seg)
+    for n in np.unique(n_seg):
+        idx = np.nonzero(n_seg == n)[0]
+        K_eff = K_eff.at[idx].set(_chain_power(k_seg[idx], int(n)))
+    K_eff = K_eff * jnp.asarray(disc.weight, dtype=K_eff.dtype)[:, None, None]
+
+    # assemble the junction-level stiffness and condense its interior
+    N = disc.nodes.shape[0]
+    dof = jnp.concatenate([edges[:, :1] * 6 + jnp.arange(6, dtype=jnp.int32),
+                           edges[:, 1:] * 6 + jnp.arange(6, dtype=jnp.int32)],
+                          axis=1)                                    # [P, 12]
+    rows = jnp.repeat(dof, 12, axis=1).reshape(-1)
+    cols = jnp.tile(dof, (1, 12)).reshape(-1)
+    K = jnp.zeros((6 * N, 6 * N), dtype=K_eff.dtype)
+    K = K.at[rows, cols].add(K_eff.reshape(-1))
+    B, I = disc.boundary_dofs, disc.interior_dofs
+    K_BB = K[jnp.ix_(B, B)]
+    if I.size == 0:
+        return K_BB
+    K_BI = K[jnp.ix_(B, I)]
+    K_II = K[jnp.ix_(I, I)]
+    chol = jax.scipy.linalg.cho_factor(K_II)
+    X = jax.scipy.linalg.cho_solve(chol, K_BI.T)
+    return K_BB - K_BI @ X
+
+
+def schur_batch_chained(disc: ChainedCellDiscretization, radii_batch, E, nu,
+                        dtype=None) -> jnp.ndarray:
+    """vmapped chained condensation over a [n_samples, n_geom] batch."""
+    f = partial(schur_complement_chained, disc, E=E, nu=nu, dtype=dtype)
     return jax.vmap(f)(jnp.asarray(radii_batch, dtype=dtype))

@@ -262,7 +262,8 @@ def _chebyshev(A: Callable, D: jnp.ndarray, b: jnp.ndarray,
 # ------------------------------------------------------------- V-cycle
 def mg_preconditioner(h: dict, radius_field: jnp.ndarray, nu: int = 2,
                       coarse_degree: int = 24,
-                      smooth_frac: float = 0.25) -> Callable:
+                      smooth_frac: float = 0.25,
+                      power_iters: int = 10) -> Callable:
     """Symmetric V(nu,nu)-cycle preconditioner M(r) for PCG.
 
     Per-level radii and lmax estimates are derived from ``radius_field``
@@ -281,7 +282,8 @@ def mg_preconditioner(h: dict, radius_field: jnp.ndarray, nu: int = 2,
     for lvl, rad in zip(levels, radii):
         D = lvl.D(rad)
         Af = lambda u, _l=lvl, _r=rad: _l.A(u, _r)
-        lmaxs.append(_estimate_lmax(Af, D, D.shape, levels[0].slat.dtype))
+        lmaxs.append(_estimate_lmax(Af, D, D.shape, levels[0].slat.dtype,
+                                    iters=power_iters))
 
     Ds = [lvl.D(rad) for lvl, rad in zip(levels, radii)]
 

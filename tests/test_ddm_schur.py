@@ -73,3 +73,33 @@ def test_schur_without_penalization_differs():
     Sn = np.asarray(schur_complement(discretize_cell(lat, penalization=False),
                                      np.array([0.05]), E_MOD, NU))
     assert np.abs(Sp - Sn).max() / np.abs(Sp).max() > 1e-3
+
+
+def test_chained_condensation_matches_subdivided():
+    """Per-beam chain elimination == full subdivided condensation (exact
+    elimination-order equivalence), on the 3-geometry hybrid cell."""
+    import numpy as np
+    from pylatticedso_tpu import MatProperties, build_lattice
+    from pylatticedso_tpu.ddm.schur import (discretize_cell,
+                                            discretize_cell_chained,
+                                            schur_complement,
+                                            schur_complement_chained)
+    lat = build_lattice({
+        "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                     "number_of_cells": {"x": 1, "y": 1, "z": 1},
+                     "radii": [0.1, 0.1, 0.1],
+                     "geom_types": ["BCC", "Hybrid1", "Hybrid4"]},
+        "simulation_parameters": {"enable": True, "material": "VeroClear",
+                                  "periodicity": True}})
+    mat = MatProperties("VeroClear")
+    r = np.array([0.053, 0.047, 0.031])
+    d_sub = discretize_cell(lat, 0, penalization=False, share_weights=True)
+    d_ch = discretize_cell_chained(lat, 0, share_weights=True)
+    assert len(d_sub.interior_dofs) > 3000      # subdivision really happened
+    assert len(d_ch.interior_dofs) == 54
+    S1 = np.asarray(schur_complement(d_sub, r, mat.young_modulus,
+                                     mat.poisson_ratio))
+    S2 = np.asarray(schur_complement_chained(d_ch, r, mat.young_modulus,
+                                             mat.poisson_ratio))
+    err = np.linalg.norm(S1 - S2) / np.linalg.norm(S1)
+    assert err < 1e-12, err
