@@ -18,7 +18,8 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 
 __all__ = ["write_vtu", "write_pvd", "export_simulation_vtu",
-           "save_json_to_grasshopper", "write_stl_cylinders"]
+           "save_json_to_grasshopper", "write_stl_cylinders", "write_msh_triangles",
+           "export_homogenization_surface_msh"]
 
 
 def _b64(arr: np.ndarray) -> str:
@@ -186,3 +187,61 @@ def write_stl_cylinders(path, lattice, n_sides: int = 12,
             fh.write(normals[k].astype(np.float32).tobytes())
             fh.write(tris[k].tobytes())
             fh.write(b"\0\0")
+
+
+def write_msh_triangles(path, points: np.ndarray, triangles: np.ndarray) -> None:
+    """ASCII gmsh MSH 2.2 file from a triangle soup (no gmsh dependency).
+
+    ``points`` [N, 3]; ``triangles`` [T, 3] 0-based node indices.
+    """
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    points = np.asarray(points, dtype=np.float64)
+    triangles = np.asarray(triangles, dtype=np.int64)
+    with open(path, "w") as fh:
+        fh.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
+        fh.write(f"$Nodes\n{len(points)}\n")
+        for i, (x, y, z) in enumerate(points, start=1):
+            fh.write(f"{i} {x:.10g} {y:.10g} {z:.10g}\n")
+        fh.write("$EndNodes\n")
+        fh.write(f"$Elements\n{len(triangles)}\n")
+        for i, (a, b, c) in enumerate(triangles, start=1):
+            # type 2 = 3-node triangle; two tags: physical 0, elementary 1
+            fh.write(f"{i} 2 2 0 1 {a + 1} {b + 1} {c + 1}\n")
+        fh.write("$EndElements\n")
+
+
+def export_homogenization_surface_msh(path, C: np.ndarray, n_theta: int = 90,
+                                      n_phi: int = 180,
+                                      fit_box: Optional[Sequence] = None) -> None:
+    """Directional-stiffness surface E(theta, phi) as a gmsh ``.msh``
+    (export_homogenization_surface_paraview parity,
+    export_simulation_results.py:232-330).
+
+    ``C``: 6x6 homogenized stiffness (Voigt).  ``fit_box`` (sx, sy, sz)
+    rescales the surface per axis to fit half the lattice box, as the
+    reference does when a lattice is attached.
+    """
+    from ..fem.homogenization import directional_modulus
+
+    th = np.linspace(0.0, np.pi, n_theta)
+    ph = np.linspace(0.0, 2.0 * np.pi, n_phi)
+    TH, PH = np.meshgrid(th, ph, indexing="ij")
+    E = directional_modulus(np.asarray(C), TH, PH)
+    pts = np.stack([E * np.sin(TH) * np.cos(PH),
+                    E * np.sin(TH) * np.sin(PH),
+                    E * np.cos(TH)], axis=-1).reshape(-1, 3)
+    if fit_box is not None:
+        maxabs = np.maximum(np.max(np.abs(pts), axis=0), 1e-12)
+        pts = pts * (0.5 * np.asarray(fit_box, dtype=float) / maxabs)
+
+    tris = []
+    for i in range(n_theta - 1):
+        for j in range(n_phi - 1):
+            n0 = i * n_phi + j
+            n1 = n0 + 1
+            n2 = n0 + n_phi
+            n3 = n2 + 1
+            tris.append([n0, n1, n3])
+            tris.append([n0, n3, n2])
+    write_msh_triangles(path, pts, np.asarray(tris))

@@ -197,15 +197,22 @@ class OptimizationProblem:
     def density(self, theta) -> float:
         return float(self._density_vg(jnp.asarray(theta))[0])
 
+    #: optional per-iteration hook, e.g. ``OptimizationPlotter().on_iteration``
+    #: (live convergence plotting, plotting_lattice_optim.py:116-167)
+    iteration_callback: Optional[Callable] = None
+
     def _record(self, theta, obj):
         rho = self.density(theta) if self._density_vg is not None else None
-        self.history.append({
+        rec = {
             "iteration": len(self.history),
             "objective": float(obj),
             "relative_density": rho,
             "parameters": np.asarray(theta).tolist(),
             "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        })
+        }
+        self.history.append(rec)
+        if self.iteration_callback is not None:
+            self.iteration_callback(rec)
 
     # ------------------------------------------------------------------
     def optimize_slsqp(self, max_iterations: int = 20, ftol: float = 1e-9,

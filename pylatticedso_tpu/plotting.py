@@ -15,7 +15,8 @@ from typing import Optional, Sequence
 import numpy as np
 
 __all__ = ["visualize_lattice", "plot_radius_distribution",
-           "plot_convergence", "visualize_homogenization_surface"]
+           "plot_convergence", "visualize_homogenization_surface",
+           "subplot_lattice_hybrid_geometries", "OptimizationPlotter"]
 
 DEFORM_MAGNIFICATION = 5.0  # point.py:76,131-141
 
@@ -190,3 +191,111 @@ def visualize_homogenization_surface(C: np.ndarray, n_theta: int = 60,
         fig.savefig(save_path, dpi=120, bbox_inches="tight")
         plt.close(fig)
     return fig
+
+
+def subplot_lattice_hybrid_geometries(lattice, explode_voxel: float = 0.0,
+                                      rmin: float = 0.025, rmax: float = 0.1,
+                                      save_path=None):
+    """One voxel subplot per geometry of a hybrid lattice, cells colored by
+    that geometry's per-cell radius (subplot_lattice_hybrid_geometries
+    parity, plotting_lattice.py:637-700)."""
+    plt = _mpl()
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    G = lattice.cell_radii.shape[1]
+    if G <= 1:
+        print("Lattice is not hybrid; only one geometry type found.")
+    fig, axs = plt.subplots(1, G, figsize=(5 * G, 5),
+                            subplot_kw={"projection": "3d"})
+    axs = np.atleast_1d(axs)
+    b = lattice.get_lattice_boundary_box()
+    mins = np.array([b[0], b[2], b[4]])
+
+    def box_faces(o, s):
+        x0, y0, z0 = o; x1, y1, z1 = o + s
+        c = np.array([[x0, y0, z0], [x1, y0, z0], [x1, y1, z0], [x0, y1, z0],
+                      [x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1]])
+        f = [(0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 5, 4), (2, 3, 7, 6),
+             (1, 2, 6, 5), (0, 3, 7, 4)]
+        return [c[list(q)] for q in f]
+
+    for g in range(G):
+        ax = axs[g]
+        ax.set_axis_off()
+        vals = np.clip((lattice.cell_radii[:, g] - rmin) / max(rmax - rmin, 1e-12),
+                       0.0, 1.0)
+        for ci in range(lattice.num_cells):
+            o = lattice.cell_origin[ci].astype(float).copy()
+            s = lattice.cell_size[ci].astype(float)
+            if explode_voxel:
+                o += explode_voxel * (o - mins) / s
+            pc = Poly3DCollection(box_faces(o, s), alpha=0.5,
+                                  facecolor=plt.cm.coolwarm(vals[ci]),
+                                  edgecolor="k", linewidths=0.3)
+            ax.add_collection3d(pc)
+        ax.set_xlim(b[0], b[1]); ax.set_ylim(b[2], b[3]); ax.set_zlim(b[4], b[5])
+        name = lattice.config.geom_types[g] if g < len(lattice.config.geom_types) \
+            else f"geometry {g}"
+        ax.set_title(name)
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+class OptimizationPlotter:
+    """Live convergence plot during the design loop (OptimizationPlotter
+    parity, plotting_lattice_optim.py:16-167): objective + relative density
+    on twin axes, updated per iteration.
+
+    Headless-safe: with a non-interactive backend the figure is only drawn,
+    and ``finalize(save_path=...)`` writes it to disk.
+    """
+
+    def __init__(self, title: str = "optimization convergence"):
+        plt = _mpl()
+        self._plt = plt
+        self.obj_hist, self.den_hist = [], []
+        self.fig, self.ax = plt.subplots(figsize=(7, 4.5))
+        self.ax2 = self.ax.twinx()
+        (self.line_obj,) = self.ax.plot([], [], "o-", color="tab:blue",
+                                        label="objective")
+        (self.line_den,) = self.ax2.plot([], [], "s--", color="tab:orange",
+                                         label="relative density")
+        self.ax.set_xlabel("iteration")
+        self.ax.set_ylabel("objective", color="tab:blue")
+        self.ax2.set_ylabel("relative density", color="tab:orange")
+        self.ax.set_title(title)
+        if hasattr(self.fig.canvas, "manager") and plt.isinteractive():
+            self.fig.show()
+
+    def update(self, objective: float, density: float = float("nan")):
+        self.obj_hist.append(float(objective))
+        self.den_hist.append(float(density))
+        it = list(range(len(self.obj_hist)))
+        self.line_obj.set_data(it, self.obj_hist)
+        self.line_den.set_data(it, self.den_hist)
+        for ax, vals in ((self.ax, self.obj_hist), (self.ax2, self.den_hist)):
+            v = np.asarray(vals, dtype=float)
+            v = v[np.isfinite(v)]
+            if v.size:
+                lo, hi = float(v.min()), float(v.max())
+                pad = 0.1 * (hi - lo) if hi > lo else max(abs(lo), 1.0) * 0.2
+                ax.set_ylim(lo - pad, hi + pad)
+        self.ax.set_xlim(0, max(5, len(it) - 1))
+        self.fig.canvas.draw_idle()
+        try:
+            self.fig.canvas.flush_events()
+        except Exception:
+            pass
+
+    # signature used by OptimizationProblem drivers (callback=plotter.on_iteration)
+    def on_iteration(self, record: dict):
+        self.update(record.get("objective", float("nan")),
+                    record.get("relative_density") or float("nan"))
+
+    def finalize(self, save_path=None):
+        if save_path:
+            self.fig.savefig(save_path, dpi=120, bbox_inches="tight")
+            self._plt.close(self.fig)
+        return self.fig

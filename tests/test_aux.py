@@ -208,3 +208,47 @@ def test_plotting_smoke(tmp_path):
         save_path=tmp_path / "conv.png")
     assert (tmp_path / "lat.png").exists()
     assert (tmp_path / "conv.png").exists()
+
+
+def test_msh_homogenization_surface_export(tmp_path):
+    import numpy as np
+    from pylatticedso_tpu.io.export import export_homogenization_surface_msh
+    C = np.diag([100.0, 120.0, 140.0, 40.0, 45.0, 50.0])
+    C[0, 1] = C[1, 0] = 30.0
+    C[0, 2] = C[2, 0] = 25.0
+    C[1, 2] = C[2, 1] = 28.0
+    p = tmp_path / "surface.msh"
+    export_homogenization_surface_msh(p, C, n_theta=12, n_phi=16,
+                                      fit_box=(2.0, 2.0, 2.0))
+    text = p.read_text()
+    assert "$MeshFormat" in text and "2.2 0 8" in text
+    n_nodes = int(text.split("$Nodes\n")[1].split("\n")[0])
+    n_elems = int(text.split("$Elements\n")[1].split("\n")[0])
+    assert n_nodes == 12 * 16
+    assert n_elems == 2 * 11 * 15
+    # fit_box: max |coord| per axis is half the box
+    import re
+    coords = np.array([[float(v) for v in ln.split()[1:4]]
+                       for ln in text.split("$Nodes\n")[1].split("\n")[1:n_nodes + 1]])
+    assert np.allclose(np.abs(coords).max(axis=0), 1.0, rtol=1e-6)
+
+
+def test_hybrid_subplot_and_live_plotter(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    from pylatticedso_tpu import build_lattice
+    from pylatticedso_tpu.plotting import (OptimizationPlotter,
+                                           subplot_lattice_hybrid_geometries)
+    lat = build_lattice({
+        "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                     "number_of_cells": {"x": 2, "y": 1, "z": 1},
+                     "radii": [0.08, 0.05], "geom_types": ["BCC", "Hybrid1"]}})
+    fig = subplot_lattice_hybrid_geometries(lat, save_path=tmp_path / "hyb.png")
+    assert (tmp_path / "hyb.png").exists()
+
+    pl = OptimizationPlotter()
+    for i, (o, d) in enumerate([(1.0, 0.5), (0.7, 0.4), (0.55, 0.35)]):
+        pl.on_iteration({"objective": o, "relative_density": d})
+    assert len(pl.obj_hist) == 3
+    pl.finalize(save_path=tmp_path / "conv.png")
+    assert (tmp_path / "conv.png").exists()
