@@ -51,7 +51,7 @@ def run_structured(n: int):
     mg_opts = {"nu": int(os.environ.get("BENCH_MG_NU", "2")),
                "coarse_degree": int(os.environ.get("BENCH_MG_COARSE", "24")),
                "smooth_frac": float(os.environ.get("BENCH_MG_FRAC", "0.25")),
-               "power_iters": int(os.environ.get("BENCH_MG_POWER", "10"))}
+               "power_iters": int(os.environ.get("BENCH_MG_POWER", "5"))}
     step = make_structured_compliance_step(sl, free, f, tol=tol,
                                            maxiter=maxiter, precond=precond,
                                            mg_opts=mg_opts)

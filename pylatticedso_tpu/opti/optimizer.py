@@ -99,11 +99,19 @@ class OptimizationProblem:
         obj_data = objective_data or cfg_opt.get("objective_data")
         self._obj_sel = self._objective_selectors(obj_data)
 
-        # density surrogate (fit on the fly over the voxel dataset if needed)
+        # density surrogate (fit on the fly over the voxel dataset if needed);
+        # the voxel sweep is expensive on a slow host, so it is cached on disk
+        # keyed by geometry set + grid (resumable, like the reference's
+        # compute_relative_densities_dataset(resume=True))
         self._density_model = density_model
         if "relative_density" in self.constraints and self._density_model is None:
             grid = np.round(np.arange(min_radius, max_radius + 1e-9, 0.01), 3)
-            ds = density_dataset(lattice.config.geom_types, grid)
+            from pathlib import Path
+            cache = Path("data/outputs/density_datasets") / (
+                "_".join(lattice.config.geom_types)
+                + f"_{grid[0]:g}_{grid[-1]:g}_{len(grid)}.pkl")
+            ds = density_dataset(lattice.config.geom_types, grid,
+                                 resume_path=cache)
             self._density_model = KrigingDensity.fit(ds)
 
         self._value_and_grad = jax.jit(jax.value_and_grad(self._objective_theta))

@@ -158,6 +158,18 @@ class MGLevel:
         f = self.free
         return f * self.matvec(f * u, radius) + (1.0 - f) * u
 
+    def prepare(self, radius):
+        """Loop-invariant matvec operands for a fixed radius (or None when
+        the matvec has no split form)."""
+        return self.matvec.prepare(radius) \
+            if hasattr(self.matvec, "prepare") else None
+
+    def A_aux(self, u, radius, aux):
+        if aux is None:
+            return self.A(u, radius)
+        f = self.free
+        return f * self.matvec.apply(f * u, aux) + (1.0 - f) * u
+
     def D(self, radius):
         f = self.free
         d = f * self.diag_fn(radius) + (1.0 - f)
@@ -278,10 +290,11 @@ def mg_preconditioner(h: dict, radius_field: jnp.ndarray, nu: int = 2,
     for rr in h["restrict_radius"]:
         radii.append(rr(radii[-1]))
 
+    auxs = [lvl.prepare(rad) for lvl, rad in zip(levels, radii)]
     lmaxs = []
-    for lvl, rad in zip(levels, radii):
+    for lvl, rad, aux in zip(levels, radii, auxs):
         D = lvl.D(rad)
-        Af = lambda u, _l=lvl, _r=rad: _l.A(u, _r)
+        Af = lambda u, _l=lvl, _r=rad, _a=aux: _l.A_aux(u, _r, _a)
         lmaxs.append(_estimate_lmax(Af, D, D.shape, levels[0].slat.dtype,
                                     iters=power_iters))
 
@@ -289,7 +302,7 @@ def mg_preconditioner(h: dict, radius_field: jnp.ndarray, nu: int = 2,
 
     def vcycle(level: int, b: jnp.ndarray) -> jnp.ndarray:
         lvl, rad, D, lmax = levels[level], radii[level], Ds[level], lmaxs[level]
-        Af = lambda u: lvl.A(u, rad)
+        Af = lambda u: lvl.A_aux(u, rad, auxs[level])
         if level == nL - 1:
             # coarsest: aggressive Chebyshev over (almost) the full spectrum
             return _chebyshev(Af, D, b, None, lmax, 1.0 / 64.0, coarse_degree)

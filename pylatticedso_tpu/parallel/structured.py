@@ -247,6 +247,92 @@ class StructuredLattice:
                 out = out.at[(cb,) + sxb].add(fB)
             return out
 
+        def prepare_gather(radius):
+            """Radius field -> per-edge padded r^2 fields [n_edges, Xp, Yp,
+            Zp].  Loop-invariant inside a solve: compute ONCE per radius and
+            reuse across every CG/smoother matvec (the creator-priority
+            selects are not free)."""
+            X, Y, Z = self.grid
+            r2s = _sections(radius)
+            r2ps = []
+            for (*_f, ext, _cr, _iv), r2 in zip(consts, r2s):
+                r2p = jnp.zeros((X + 2, Y + 2, Z + 2), dt)
+                r2ps.append(r2p.at[1:1 + ext[0], 1:1 + ext[1],
+                                   1:1 + ext[2]].set(r2))
+            return jnp.stack(r2ps)
+
+        def apply_gather(u, r2ps):
+            """Gather-form K.u: every output point SUMS shifted-slice reads
+            instead of 2x24 scatter-adds into the output buffer.  Same
+            arithmetic as ``matvec`` reorganized around the output index, so
+            XLA fuses the whole operator into stencil loop nests with no
+            serialized in-place updates (the scatter form's bottleneck).
+
+            For template edge e with cell offsets (oa, ob): the instance
+            anchored at g contributes fA at node (g + oa) of class ca and fB
+            at (g + ob) of class cb.  Re-indexed by output point p:
+              out[ca](p) += fA(uA = u[ca](p), uB = u[cb](p + d), r2(p - oa))
+              out[cb](p) += fB(uA = u[ca](p - d), uB = u[cb](p), r2(p - ob))
+            with d = ob - oa in {-1,0,1}^3.  One-cell zero padding on both
+            sides makes every read a static in-bounds slice; out-of-range
+            contributions vanish because the padded r2 is zero there.
+            """
+            X, Y, Z = self.grid
+            up = jnp.pad(u, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
+
+            def sl(base, off):
+                """[6, X, Y, Z] slice of a padded [*,6,Xp,Yp,Zp] field at
+                integer offset ``off`` (each component in {-1,0,1})."""
+                return base[:, 1 + off[0]:1 + off[0] + X,
+                            1 + off[1]:1 + off[1] + Y,
+                            1 + off[2]:1 + off[2] + Z]
+
+            def slr(r2p, off):
+                return r2p[1 + off[0]:1 + off[0] + X,
+                           1 + off[1]:1 + off[1] + Y,
+                           1 + off[2]:1 + off[2] + Z]
+
+            zero = jnp.zeros((6, X, Y, Z), dt)
+            acc = [zero] * self.nc
+            dot = lambda V, w: (V * w[:, None, None, None]).sum(0)
+            o = lambda s, w: s[None] * w[:, None, None, None]
+            for (t, a1, a2, L, ca, cb, oa, ob, ext, _cr, _iv), r2p in zip(consts, r2ps):
+                d = (ob[0] - oa[0], ob[1] - oa[1], ob[2] - oa[2])
+                invL = 1.0 / L
+                for side in (0, 1):
+                    if side == 0:      # A-side: self = ca at p, other at p+d
+                        uA = sl(up[ca], (0, 0, 0))
+                        uB = sl(up[cb], d)
+                        r2 = slr(r2p, (-oa[0], -oa[1], -oa[2]))
+                        c_out = ca
+                    else:              # B-side: self = cb at p, other at p-d
+                        uA = sl(up[ca], (-d[0], -d[1], -d[2]))
+                        uB = sl(up[cb], (0, 0, 0))
+                        r2 = slr(r2p, (-ob[0], -ob[1], -ob[2]))
+                        c_out = cb
+                    S = jnp.pi * r2
+                    I = jnp.pi * r2 * r2 / 4.0
+                    ES, kGS = E_mod * S, kappa * G_mod * S
+                    GJ, EI = 2.0 * G_mod * I, E_mod * I
+                    du = uB[:3] - uA[:3]
+                    ths = uA[3:] + uB[3:]
+                    dth = uB[3:] - uA[3:]
+                    e0 = dot(du, t) * invL
+                    e1 = dot(du, a1) * invL - dot(ths, a2) * 0.5
+                    e2 = dot(du, a2) * invL + dot(ths, a1) * 0.5
+                    e3 = dot(dth, t) * invL
+                    e4 = dot(dth, a1) * invL
+                    e5 = dot(dth, a2) * invL
+                    s0, s1, s2 = ES * e0, kGS * e1, kGS * e2
+                    s3, s4, s5 = GJ * e3, EI * e4, EI * e5
+                    fu = o(s0, t) + o(s1, a1) + o(s2, a2)
+                    msh = (L * 0.5) * (o(s2, a1) - o(s1, a2))
+                    mdf = o(s3, t) + o(s4, a1) + o(s5, a2)
+                    f_side = jnp.concatenate([-fu, msh - mdf]) if side == 0 \
+                        else jnp.concatenate([fu, msh + mdf])
+                    acc[c_out] = acc[c_out] + f_side
+            return jnp.stack(acc)
+
         def diag(radius):
             r2s = _sections(radius)
             out = jnp.zeros((self.nc, 6) + self.grid, dt)
@@ -268,6 +354,14 @@ class StructuredLattice:
                 out = out.at[(cb,) + sxb].add(dvec)
             return out
 
+        def matvec_gather(u, radius):
+            return apply_gather(u, prepare_gather(radius))
+
+        import os
+        if os.environ.get("PLDSO_MATVEC", "gather") == "gather":
+            matvec_gather.prepare = prepare_gather
+            matvec_gather.apply = apply_gather
+            return matvec_gather, diag
         return matvec, diag
 
 
@@ -312,10 +406,17 @@ def make_structured_compliance_step(slat: StructuredLattice,
         dg = free * diag_fn(radius_field) + (1.0 - free)
         dg = jnp.where(dg == 0, 1.0, dg)
 
-        def A(u):
-            return free * matvec(free * u, radius_field) + (1.0 - free) * u
+        if hasattr(matvec, "prepare"):
+            # hoist the radius -> r^2-field construction out of the CG loop
+            aux = matvec.prepare(radius_field)
+            K = lambda u: matvec.apply(u, aux)
+        else:
+            K = lambda u: matvec(u, radius_field)
 
-        b = free * (f - matvec(u_imp, radius_field)) + (1.0 - free) * u_imp
+        def A(u):
+            return free * K(free * u) + (1.0 - free) * u
+
+        b = free * (f - K(u_imp)) + (1.0 - free) * u_imp
         if mg_hier is not None:
             from .multigrid import mg_preconditioner
             # preconditioner never moves the fixed point: detach its radii
