@@ -154,7 +154,8 @@ class DDMSystem:
 def _schur_groups(lattice: Lattice, material: MatProperties,
                   penalization: bool, periodicity: bool,
                   target_h: Optional[float], dtype=None,
-                  schur_provider: Optional[Callable] = None):
+                  schur_provider: Optional[Callable] = None,
+                  share_weights: bool = True):
     """Compute one Schur complement per unique cell group.
 
     Group key: (radii, cell size) like the reference's cache
@@ -194,7 +195,7 @@ def _schur_groups(lattice: Lattice, material: MatProperties,
         disc = discretize_cell(lattice, rep, target_h=target_h,
                                penalization=penalization,
                                periodicity=periodicity, l_zones=l_zones,
-                               share_weights=True)
+                               share_weights=share_weights)
         if schur_provider is not None:
             S = schur_provider(lattice.cell_radii[rep])
         else:
@@ -225,11 +226,19 @@ def build_ddm_system(lattice: Lattice, material: Optional[MatProperties] = None,
                      periodicity: Optional[bool] = None,
                      target_h: Optional[float] = None,
                      schur_provider: Optional[Callable] = None,
+                     share_weights: bool = True,
                      dtype=None) -> DDMSystem:
     """Assemble the interface system (exact Schur per unique cell group).
 
     ``schur_provider(radii) -> S`` plugs in surrogate reconstruction
     (reduced basis / RBF / nearest-neighbor) instead of exact condensation.
+
+    ``share_weights=True`` weights face-shared beams by 1/multiplicity so the
+    per-cell Schur complements assemble to exactly the global stiffness;
+    ``False`` reproduces the reference's behavior of counting such beams
+    once per owning cell (cell.py:293-380 dedups within a cell but every
+    cell condenses its full beam set), which stiffens shared faces — needed
+    when matching the reference's committed DDM optimization records.
     """
     mat = material or MatProperties(lattice.config.material_name())
     bc = bc or apply_boundary_conditions(lattice)
@@ -243,7 +252,8 @@ def build_ddm_system(lattice: Lattice, material: Optional[MatProperties] = None,
     if periodicity is None:
         periodicity = bool(sim.get("periodicity", False))
     S_list, group_of_cell, cell_bnodes = _schur_groups(
-        lattice, mat, penalization, periodicity, target_h, dtype, schur_provider)
+        lattice, mat, penalization, periodicity, target_h, dtype,
+        schur_provider, share_weights=share_weights)
     return DDMSystem(lattice, S_list, group_of_cell, cell_bnodes, bc, dtype=dtype)
 
 

@@ -34,6 +34,7 @@ def build_schur_surrogate(lattice: Lattice, material, min_radius: float,
                           max_radius: float, step: float = 0.01,
                           tol_greedy: float = 1e-6,
                           target_h: Optional[float] = None,
+                          share_weights: bool = True,
                           batch: int = 64) -> SchurSurrogate:
     """Offline RB training over the radius grid (no penalization, so one
     discretization serves every sample — construct_schur_complement_dataset
@@ -46,7 +47,7 @@ def build_schur_surrogate(lattice: Lattice, material, min_radius: float,
     affordable.
     """
     disc = discretize_cell_chained(lattice, 0, target_h=target_h,
-                                   share_weights=True)
+                                   share_weights=share_weights)
     grid = np.round(np.arange(min_radius, max_radius + step / 2, step), 6)
     combos = np.array([c for c in product(grid, repeat=lattice.config.n_geom)
                        if sum(c) > 0.003])
@@ -66,16 +67,19 @@ class DDMOptimizationProblem(OptimizationProblem):
     interface system instead of the full matrix-free operator."""
 
     def __init__(self, lattice: Lattice, surrogate: Optional[SchurSurrogate] = None,
-                 tol_greedy: float = 1e-6, grid_step: float = 0.01, **kwargs):
+                 tol_greedy: float = 1e-6, grid_step: float = 0.01,
+                 share_weights: bool = True, **kwargs):
         super().__init__(lattice, **kwargs)
         self._surrogate = surrogate or build_schur_surrogate(
             lattice, self.material, self.param.min_radius,
-            self.param.max_radius, step=grid_step, tol_greedy=tol_greedy)
+            self.param.max_radius, step=grid_step, tol_greedy=tol_greedy,
+            share_weights=share_weights)
 
         # interface topology from the exact DDM assembly (radius-independent
         # without penalization)
         sys_ = build_ddm_system(lattice, self.material, self.bc,
-                                penalization=False)
+                                penalization=False,
+                                share_weights=share_weights)
         self._cell_bnodes = sys_.cell_bnodes            # [C, nb]
         self._nb = sys_.nb
         self._m = sys_.m
