@@ -50,6 +50,10 @@ problem = DDMOptimizationProblem(
     constraints={"relative_density": {"value": 0.3, "mode": "upper"}},
     cg_tol=1e-9, cg_maxiter=2000,
     grid_step=GRID_STEP,
+    # the reference's datasets re-penalize the cell per radius sample
+    # (reset_cell_with_new_radii -> set_penalized_beams), so its records
+    # include joint stiffening; match that model.
+    penalization=True,
 )
 t_offline = time.time() - t0
 print(f"offline (Schur grid + RB + RBF): {t_offline:.1f} s; "

@@ -28,7 +28,8 @@ from ..sim.penalization import compute_l_zones, penalize_edges
 
 __all__ = ["CellDiscretization", "discretize_cell", "schur_complement",
            "schur_batch", "ChainedCellDiscretization", "discretize_cell_chained",
-           "schur_complement_chained", "schur_batch_chained"]
+           "schur_complement_chained", "schur_batch_chained",
+           "schur_penalized_batch"]
 
 
 class CellDiscretization:
@@ -308,3 +309,185 @@ def schur_batch_chained(disc: ChainedCellDiscretization, radii_batch, E, nu,
     """vmapped chained condensation over a [n_samples, n_geom] batch."""
     f = partial(schur_complement_chained, disc, E=E, nu=nu, dtype=dtype)
     return jax.vmap(f)(jnp.asarray(radii_batch, dtype=dtype))
+
+
+# ---------------------------------------------------------------------------
+# Penalized radius-grid condensation (host, float64 numpy).
+#
+# The reference's Schur datasets are computed on PENALIZED cells: its
+# dataset script re-applies set_penalized_beams for every radius sample
+# (examples/simulation/construct_schur_complement_dataset.py +
+# lattice_sim.py:1480-1500), so zone lengths L = r/tan(theta/2) — and hence
+# the discretization — change per sample.  A penalized beam is still a
+# straight chain (zone | core | zone, each uniformly subdivided), so the
+# chained elimination applies piecewise: per-piece binary doubling, two
+# 12x12 combines per beam, then the junction-level Schur.  Per-sample
+# topology varies (ceil(L_piece/h)), so this path runs in plain numpy f64 —
+# ~10 ms per sample, no retracing.
+# ---------------------------------------------------------------------------
+def _np_element_stiffness(vec: np.ndarray, radius: np.ndarray, E, nu,
+                          kappa: float = 0.9) -> np.ndarray:
+    """[P,12,12] Timoshenko element stiffness from edge vectors (numpy port
+    of fem.elements.element_stiffness_dense)."""
+    L = np.linalg.norm(vec, axis=1)
+    t = vec / L[:, None]
+    ez = np.array([0.0, 0.0, 1.0])
+    ex = np.array([1.0, 0.0, 0.0])
+    ref = np.where((np.abs(t @ ez) > 0.99)[:, None], ex, ez)
+    a1 = np.cross(ref, t)
+    a1 = a1 / np.linalg.norm(a1, axis=1)[:, None]
+    a2 = np.cross(t, a1)
+    G = E / (2.0 * (1.0 + nu))
+    S = np.pi * radius**2
+    I = np.pi * radius**4 / 4.0
+    D = np.stack([E * S, kappa * G * S, kappa * G * S,
+                  G * 2.0 * I, E * I, E * I], axis=-1)      # [P,6]
+    invL = (1.0 / L)[:, None]
+    z = np.zeros_like(t)
+    rows = [
+        np.concatenate([-t * invL, z, t * invL, z], axis=1),
+        np.concatenate([-a1 * invL, -a2 * 0.5, a1 * invL, -a2 * 0.5], axis=1),
+        np.concatenate([-a2 * invL, a1 * 0.5, a2 * invL, a1 * 0.5], axis=1),
+        np.concatenate([z, -t * invL, z, t * invL], axis=1),
+        np.concatenate([z, -a1 * invL, z, a1 * invL], axis=1),
+        np.concatenate([z, -a2 * invL, z, a2 * invL], axis=1),
+    ]
+    B = np.stack(rows, axis=1)                               # [P,6,12]
+    return np.einsum("pkl,pk,pkm->plm", B, D * L[:, None], B)
+
+
+def _np_chain_combine(KA: np.ndarray, KB: np.ndarray) -> np.ndarray:
+    """Batched chain concatenation (numpy twin of _chain_combine)."""
+    M = KA[..., 6:, 6:] + KB[..., :6, :6]
+    XA = np.linalg.solve(M, KA[..., 6:, :6])
+    XB = np.linalg.solve(M, KB[..., :6, 6:])
+    Kaa = KA[..., :6, :6] - KA[..., :6, 6:] @ XA
+    Kab = -KA[..., :6, 6:] @ XB
+    Kba = -KB[..., 6:, :6] @ XA
+    Kbb = KB[..., 6:, 6:] - KB[..., 6:, :6] @ XB
+    top = np.concatenate([Kaa, Kab], axis=-1)
+    bot = np.concatenate([Kba, Kbb], axis=-1)
+    return np.concatenate([top, bot], axis=-2)
+
+
+def _np_chain_power(k: np.ndarray, n: int) -> np.ndarray:
+    result = None
+    P = k
+    while n:
+        if n & 1:
+            result = P if result is None else _np_chain_combine(result, P)
+        n >>= 1
+        if n:
+            P = _np_chain_combine(P, P)
+    return result
+
+
+def schur_penalized_batch(lattice, radii_batch, E, nu, cell_index: int = 0,
+                          target_h: Optional[float] = None,
+                          periodicity: Optional[bool] = None,
+                          share_weights: bool = True,
+                          coefficient: float = 1.5) -> np.ndarray:
+    """[B, m, m] penalized Schur complements over a radius grid.
+
+    Reproduces the reference's dataset semantics: per sample, every beam is
+    split into 1.5x-radius end zones of length L_zone(mu) and a core, each
+    piece gmsh-subdivided (ceil(L/h)), then condensed to the cell boundary.
+    Matches discretize_cell(penalization=True) + schur_complement to
+    machine precision at ~1/1000 the cost per sample.
+    """
+    from ..sim.penalization import lzone_coefficients
+
+    disc = discretize_cell_chained(lattice, cell_index, target_h=target_h,
+                                   share_weights=share_weights)
+    if periodicity is None:
+        periodicity = bool((lattice.config.simulation or {}).get("periodicity",
+                                                                 False))
+    if target_h is None:
+        target_h = 0.05 * lattice.config.cell_size[0]
+    G = lattice.config.n_geom
+    coefs, floor = lzone_coefficients(disc.nodes, disc.edges, disc.edge_type,
+                                      G, periodicity=periodicity)
+
+    nodes, edges, etype = disc.nodes, disc.edges, disc.edge_type
+    P = len(edges)
+    pa = nodes[edges[:, 0]]
+    pb = nodes[edges[:, 1]]
+    # reference zone placement uses the 4-decimal-rounded length direction
+    len_round = np.round(np.linalg.norm(pb - pa, axis=1), 4)
+    t_dir = (pb - pa) / len_round[:, None]
+
+    B_n = nodes.shape[0]
+    dof = np.concatenate([edges[:, :1] * 6 + np.arange(6),
+                          edges[:, 1:] * 6 + np.arange(6)], axis=1)  # [P,12]
+    rows = np.repeat(dof, 12, axis=1).reshape(-1)
+    cols = np.tile(dof, (1, 12)).reshape(-1)
+    Bd, Id = disc.boundary_dofs, disc.interior_dofs
+
+    out = []
+    for mu in np.asarray(radii_batch, dtype=np.float64):
+        r_e = mu[etype]
+        lz = np.maximum((coefs * mu[None, None, :]).max(axis=2), floor)
+        # piece endpoints and radii (up to 3 per parent, penalize_edges
+        # semantics: zone A | core | zone B)
+        piece_vec, piece_r, piece_parent = [], [], []
+        for e in range(P):
+            L1, L2 = lz[e]
+            r = r_e[e]
+            a_pt, b_pt, td = pa[e], pb[e], t_dir[e]
+            start = a_pt
+            if L1 <= 0 and L2 <= 0:
+                piece_vec.append(b_pt - a_pt); piece_r.append(r)
+                piece_parent.append(e)
+                continue
+            if L1 > 0:
+                m1 = a_pt + L1 * td
+                piece_vec.append(m1 - a_pt); piece_r.append(r * coefficient)
+                piece_parent.append(e)
+                start = m1
+            if L2 > 0:
+                m2 = b_pt - L2 * td
+                piece_vec.append(m2 - start); piece_r.append(r)
+                piece_parent.append(e)
+                piece_vec.append(b_pt - m2); piece_r.append(r * coefficient)
+                piece_parent.append(e)
+            else:
+                piece_vec.append(b_pt - start); piece_r.append(r)
+                piece_parent.append(e)
+        piece_vec = np.asarray(piece_vec)
+        piece_r = np.asarray(piece_r)
+        piece_parent = np.asarray(piece_parent)
+        plen = np.linalg.norm(piece_vec, axis=1)
+        n_seg = np.maximum(1, np.ceil(plen / target_h)).astype(np.int64)
+
+        k_seg = _np_element_stiffness(
+            piece_vec / n_seg[:, None], piece_r, E, nu)
+        # chain power grouped by segment count
+        K_piece = np.empty_like(k_seg)
+        for n in np.unique(n_seg):
+            idx = np.nonzero(n_seg == n)[0]
+            K_piece[idx] = _np_chain_power(k_seg[idx], int(n))
+        # fold pieces per parent (in order: they were appended a->b)
+        K_eff = np.empty((P, 12, 12))
+        ptr = 0
+        # pieces are contiguous per parent in construction order
+        counts = np.bincount(piece_parent, minlength=P)
+        for e in range(P):
+            c = counts[e]
+            Ke = K_piece[ptr]
+            for j in range(1, c):
+                Ke = _np_chain_combine(Ke, K_piece[ptr + j])
+            K_eff[e] = Ke
+            ptr += c
+        K_eff = K_eff * disc.weight[:, None, None]
+
+        K = np.zeros((6 * B_n, 6 * B_n))
+        np.add.at(K, (rows, cols), K_eff.reshape(-1))
+        K_BB = K[np.ix_(Bd, Bd)]
+        if Id.size:
+            K_BI = K[np.ix_(Bd, Id)]
+            K_II = K[np.ix_(Id, Id)]
+            S = K_BB - K_BI @ np.linalg.solve(K_II, K_BI.T)
+        else:
+            S = K_BB
+        out.append(S)
+    return np.stack(out)

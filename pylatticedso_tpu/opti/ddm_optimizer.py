@@ -22,7 +22,8 @@ import numpy as np
 
 from ..design.lattice import Lattice
 from ..fem.solve import linear_solve
-from ..ddm.schur import (discretize_cell_chained, schur_batch_chained)
+from ..ddm.schur import (discretize_cell_chained, schur_batch_chained,
+                         schur_penalized_batch)
 from ..ddm.solver import build_ddm_system
 from ..ddm.surrogate import SchurSurrogate, reduce_basis_greedy
 from .optimizer import OptimizationProblem
@@ -35,27 +36,41 @@ def build_schur_surrogate(lattice: Lattice, material, min_radius: float,
                           tol_greedy: float = 1e-6,
                           target_h: Optional[float] = None,
                           share_weights: bool = True,
+                          penalization: bool = False,
                           batch: int = 64) -> SchurSurrogate:
-    """Offline RB training over the radius grid (no penalization, so one
-    discretization serves every sample — construct_schur_complement_dataset
-    parity).
+    """Offline RB training over the radius grid
+    (construct_schur_complement_dataset parity).
 
     Uses the chained condensation (per-beam binary-doubling elimination of
     the subdivision chain, then a junction-level Schur): identical to the
     subdivided computation to machine precision at ~1/1000 the dense cost,
     so dense multi-geometry grids (10 points/axis ^ 3 geometries) are
     affordable.
+
+    ``penalization=True`` reproduces the reference's dataset semantics of
+    re-penalizing the cell for every radius sample (its dataset script calls
+    reset_cell_with_new_radii -> set_penalized_beams per combination,
+    lattice_sim.py:1480-1500): 1.5x-radius end zones of per-sample length
+    L = r/tan(theta/2), condensed exactly via the piecewise chain.  This is
+    what the reference's committed optimization records were produced with.
     """
-    disc = discretize_cell_chained(lattice, 0, target_h=target_h,
-                                   share_weights=share_weights)
     grid = np.round(np.arange(min_radius, max_radius + step / 2, step), 6)
     combos = np.array([c for c in product(grid, repeat=lattice.config.n_geom)
                        if sum(c) > 0.003])
     S_all = []
-    for i in range(0, len(combos), batch):
-        S_all.append(np.asarray(schur_batch_chained(
-            disc, combos[i:i + batch], material.young_modulus,
-            material.poisson_ratio)))
+    if penalization:
+        for i in range(0, len(combos), batch):
+            S_all.append(schur_penalized_batch(
+                lattice, combos[i:i + batch], material.young_modulus,
+                material.poisson_ratio, target_h=target_h,
+                share_weights=share_weights))
+    else:
+        disc = discretize_cell_chained(lattice, 0, target_h=target_h,
+                                       share_weights=share_weights)
+        for i in range(0, len(combos), batch):
+            S_all.append(np.asarray(schur_batch_chained(
+                disc, combos[i:i + batch], material.young_modulus,
+                material.poisson_ratio)))
     S_all = np.concatenate(S_all, axis=0)
     schur_dict = {tuple(c): S for c, S in zip(combos, S_all)}
     B, A, L = reduce_basis_greedy(schur_dict, tol_greedy)
@@ -68,12 +83,13 @@ class DDMOptimizationProblem(OptimizationProblem):
 
     def __init__(self, lattice: Lattice, surrogate: Optional[SchurSurrogate] = None,
                  tol_greedy: float = 1e-6, grid_step: float = 0.01,
-                 share_weights: bool = True, **kwargs):
+                 share_weights: bool = True, penalization: bool = False,
+                 **kwargs):
         super().__init__(lattice, **kwargs)
         self._surrogate = surrogate or build_schur_surrogate(
             lattice, self.material, self.param.min_radius,
             self.param.max_radius, step=grid_step, tol_greedy=tol_greedy,
-            share_weights=share_weights)
+            share_weights=share_weights, penalization=penalization)
 
         # interface topology from the exact DDM assembly (radius-independent
         # without penalization)

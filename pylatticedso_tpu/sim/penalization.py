@@ -28,7 +28,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 __all__ = ["PenalizationResult", "compute_l_zones", "penalize_edges",
-           "function_penalization_Lzone"]
+           "function_penalization_Lzone", "lzone_coefficients"]
 
 PENALIZATION_COEFFICIENT = 1.5  # beam.py:71
 
@@ -141,6 +141,79 @@ def compute_l_zones(nodes: np.ndarray, edges: np.ndarray, radius: np.ndarray,
     key = ea * 2 + enda
     np.maximum.at(out.reshape(-1), key, L)
     return out
+
+
+def lzone_coefficients(nodes: np.ndarray, edges: np.ndarray,
+                       edge_type: np.ndarray, n_geom: int,
+                       node_tag: Optional[np.ndarray] = None,
+                       periodicity: bool = False):
+    """Radius-independent L-zone structure for radius-grid sweeps.
+
+    L_zone at (edge, end) = max over connected pairs of
+    ``f(angle) * r_other`` with f = 1/tan(angle/2) for angle <= 170 deg and
+    an absolute 1e-7 floor above (utils.py:432-453).  Within a cell every
+    edge of geometry g shares radius mu[g], so
+
+        L_zone(mu)[e, end] = max(max_g coefs[e, end, g] * mu[g],
+                                 floor[e, end])
+
+    Returns (coefs [E, 2, n_geom], floor [E, 2]); evaluating this at a
+    concrete mu reproduces ``compute_l_zones`` exactly.
+    """
+    E = len(edges)
+    group = _node_groups(nodes, node_tag, periodicity)
+    g1, g2 = group[edges[:, 0]], group[edges[:, 1]]
+    ge = np.concatenate([
+        np.stack([g1, np.arange(E), np.zeros(E, dtype=np.int64)], axis=1),
+        np.stack([g2, np.arange(E), np.ones(E, dtype=np.int64)], axis=1),
+    ])
+    order = np.argsort(ge[:, 0], kind="stable")
+    ge = ge[order]
+    grp_sorted = ge[:, 0]
+    starts = np.searchsorted(grp_sorted, np.unique(grp_sorted), side="left")
+    ends = np.append(starts[1:], len(ge))
+
+    pair_a, end_a, pair_b, end_b = [], [], [], []
+    for s, t in zip(starts, ends):
+        members = ge[s:t]
+        if len(members) < 2:
+            continue
+        eids = members[:, 1]
+        lends = members[:, 2]
+        ii, jj = np.meshgrid(np.arange(len(members)), np.arange(len(members)),
+                             indexing="ij")
+        mask = eids[ii] != eids[jj]
+        pair_a.append(eids[ii][mask]); end_a.append(lends[ii][mask])
+        pair_b.append(eids[jj][mask]); end_b.append(lends[jj][mask])
+    coefs = np.zeros((E, 2, n_geom))
+    floor = np.zeros((E, 2))
+    if not pair_a:
+        return coefs, floor
+    ea = np.concatenate(pair_a); enda = np.concatenate(end_a)
+    eb = np.concatenate(pair_b); endb = np.concatenate(end_b)
+
+    vecs = nodes[edges[:, 1]] - nodes[edges[:, 0]]
+    sign_a = np.where(enda == 0, 1.0, -1.0)[:, None]
+    sign_b = np.where(endb == 0, 1.0, -1.0)[:, None]
+    u = vecs[ea] * sign_a
+    v = vecs[eb] * sign_b
+    ang = _angle_between(u, v)
+
+    keep = ang > 1e-12
+    ea, enda, eb, ang = ea[keep], enda[keep], eb[keep], ang[keep]
+    gb = np.asarray(edge_type)[eb]
+
+    aligned = ang > 170.0
+    # absolute floor from quasi-aligned pairs
+    key = (ea * 2 + enda)[aligned]
+    np.maximum.at(floor.reshape(-1), key, 1e-7)
+    # radius-proportional coefficients elsewhere
+    ok = ~aligned
+    c = np.zeros_like(ang)
+    c[ok] = 1.0 / np.tan(np.radians(ang[ok]) / 2.0)
+    key3 = (ea * 2 + enda) * n_geom + gb
+    np.maximum.at(coefs.reshape(-1), key3[ok], c[ok])
+    return coefs, floor
 
 
 @dataclass

@@ -103,3 +103,36 @@ def test_chained_condensation_matches_subdivided():
                                              mat.poisson_ratio))
     err = np.linalg.norm(S1 - S2) / np.linalg.norm(S1)
     assert err < 1e-12, err
+
+
+def test_penalized_chained_matches_subdivided():
+    """Per-sample penalized condensation (zone|core|zone chains) == the
+    dense subdivided path with penalize_edges, on the 3-geometry cell."""
+    import numpy as np
+    from pylatticedso_tpu import MatProperties, build_lattice
+    from pylatticedso_tpu.ddm.schur import (discretize_cell, schur_complement,
+                                            schur_penalized_batch)
+
+    def make(radii):
+        return build_lattice({
+            "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                         "number_of_cells": {"x": 1, "y": 1, "z": 1},
+                         "radii": radii,
+                         "geom_types": ["BCC", "Hybrid1", "Hybrid4"]},
+            "simulation_parameters": {"enable": True, "material": "VeroClear",
+                                      "periodicity": True}})
+
+    mat = MatProperties("VeroClear")
+    mus = np.array([[0.1, 0.07, 0.03], [0.02, 0.09, 0.04]])
+    S_fast = schur_penalized_batch(make([0.05, 0.05, 0.05]), mus,
+                                   mat.young_modulus, mat.poisson_ratio,
+                                   share_weights=True)
+    for i, mu in enumerate(mus):
+        # rebuild per sample: reference semantics re-penalize with the
+        # sample's own radii (zone lengths scale with r)
+        lat = make([float(m) for m in mu])
+        d = discretize_cell(lat, 0, penalization=True, share_weights=True)
+        S_ref = np.asarray(schur_complement(d, mu, mat.young_modulus,
+                                            mat.poisson_ratio))
+        err = np.linalg.norm(S_fast[i] - S_ref) / np.linalg.norm(S_ref)
+        assert err < 1e-12, (i, err)
