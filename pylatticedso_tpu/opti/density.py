@@ -117,17 +117,56 @@ def density_dataset(geom_types: Sequence[str], radius_grid: Sequence[float],
         os.replace(tmp, p)
 
     tpls = [get_beam_structure(g) for g in geom_types]
-    beams = np.concatenate(tpls)
-    n_new = 0
-    for combo in product(radius_grid, repeat=len(geom_types)):
-        key = tuple(round(float(c), 6) for c in combo)
-        if sum(combo) <= 0.003 or key in out:
+    G = len(geom_types)
+    grid = np.asarray(list(radius_grid), dtype=np.float64)
+    missing = [tuple(round(float(c), 6) for c in combo)
+               for combo in product(radius_grid, repeat=G)
+               if sum(combo) > 0.003]
+    if all(k in out for k in missing):
+        return out
+
+    # The point-to-segment distance field is radius-independent, so the
+    # whole grid shares one quadrature pass: per point keep the min squared
+    # distance to each geometry's beams, bucket it against the grid of r^2
+    # thresholds, and a 3-D suffix-sum histogram answers every combo in O(1)
+    # (point inside union <=> min_g dmin_g <= r_g^2).  This is exact w.r.t.
+    # the per-combo quadrature and turns 10^G device sweeps into one.
+    n = resolution
+    axis = (np.arange(n) + 0.5) / n
+    X, Y, Z = np.meshgrid(axis, axis, axis, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1).astype(np.float32)
+    p1s = [jnp.asarray(t[:, :3], dtype=jnp.float32) for t in tpls]
+    p2s = [jnp.asarray(t[:, 3:], dtype=jnp.float32) for t in tpls]
+
+    @jax.jit
+    def dmin_chunk(chunk):
+        return jnp.stack([_segment_distance_sq(chunk, p1, p2).min(axis=1)
+                          for p1, p2 in zip(p1s, p2s)], axis=1)   # [B, G]
+
+    batch = 1 << 17
+    buckets = np.empty((len(pts), G), dtype=np.int64)
+    thresholds = (grid.astype(np.float32) ** 2).astype(np.float32)
+    for s0 in range(0, len(pts), batch):
+        dm = np.asarray(dmin_chunk(jnp.asarray(pts[s0:s0 + batch])))
+        # bucket b = number of thresholds strictly below dmin
+        buckets[s0:s0 + batch] = np.searchsorted(thresholds, dm, side="left")
+
+    m = len(grid) + 1
+    flat = np.ravel_multi_index([buckets[:, g] for g in range(G)], (m,) * G)
+    H = np.bincount(flat, minlength=m**G).reshape((m,) * G).astype(np.int64)
+    # suffix sum: Hs[i0..] = #points with bucket_g >= i_g for all g
+    Hs = H.copy()
+    for g in range(G):
+        Hs = np.flip(np.cumsum(np.flip(Hs, axis=g), axis=g), axis=g)
+
+    total = float(len(pts))
+    for combo in product(range(len(grid)), repeat=G):
+        key = tuple(round(float(grid[i]), 6) for i in combo)
+        if key not in missing or key in out:
             continue
-        radii = np.concatenate([np.full(len(t), c) for t, c in zip(tpls, combo)])
-        out[key] = density_voxel(beams, radii, resolution=resolution)
-        n_new += 1
-        if n_new % save_every == 0:
-            checkpoint()
+        idx = tuple(i + 1 for i in combo)
+        outside = Hs[idx]            # bucket_g > i_g for all g -> outside
+        out[key] = (total - float(outside)) / total
     checkpoint()
     return out
 
