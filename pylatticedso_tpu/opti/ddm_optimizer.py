@@ -57,6 +57,24 @@ def build_schur_surrogate(lattice: Lattice, material, min_radius: float,
     grid = np.round(np.arange(min_radius, max_radius + step / 2, step), 6)
     combos = np.array([c for c in product(grid, repeat=lattice.config.n_geom)
                        if sum(c) > 0.003])
+
+    # cache the trained basis like the reference's reduced-basis npz files
+    # (greedy_algorithm.py:157-233): keyed by geometries, grid, tolerance,
+    # and penalization mode
+    from pathlib import Path
+
+    from ..ddm.surrogate import load_reduced_basis, save_reduced_basis
+    cache = Path("data/outputs/schur_complement") / (
+        "rb_" + "_".join(lattice.config.geom_types)
+        + f"_{grid[0]:g}_{grid[-1]:g}_{len(grid)}"
+        + f"_tol{tol_greedy:g}"
+        + ("_pen" if penalization else "")
+        + ("_shared" if share_weights else "") + ".npz")
+    if cache.exists():
+        d = load_reduced_basis(cache)
+        return SchurSurrogate(basis=d["basis_reduced_ortho"],
+                              alpha=d["alpha_ortho"],
+                              samples=d["list_elements"], kind="RBF")
     S_all = []
     if penalization:
         for i in range(0, len(combos), batch):
@@ -74,6 +92,10 @@ def build_schur_surrogate(lattice: Lattice, material, min_radius: float,
     S_all = np.concatenate(S_all, axis=0)
     schur_dict = {tuple(c): S for c, S in zip(combos, S_all)}
     B, A, L = reduce_basis_greedy(schur_dict, tol_greedy)
+    try:
+        save_reduced_basis(cache, B, A, L)
+    except OSError:
+        pass
     return SchurSurrogate(basis=B, alpha=A, samples=L, kind="RBF")
 
 
