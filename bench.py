@@ -29,6 +29,9 @@ def run_structured(n: int):
     tol = float(os.environ.get("BENCH_TOL", "1e-6"))
     geom = os.environ.get("BENCH_GEOM", "Octet")
     maxiter = int(os.environ.get("BENCH_MAXITER", "6000"))
+    # fused Pallas stencil matvec at every multigrid level (see
+    # parallel/stencil_pallas.py); PLDSO_MATVEC=gather for the XLA form
+    os.environ.setdefault("PLDSO_MATVEC", "pallas")
 
     t0 = time.time()
     sl = StructuredLattice(geom, (n, n, n), (1.0, 1.0, 1.0), 1013.0, 0.3,

@@ -61,8 +61,11 @@ print(f"offline (Schur grid + RB + RBF): {t_offline:.1f} s; "
       f"RB size {problem._surrogate.basis.shape[1]}")
 
 t0 = time.time()
-# reference expe optimizer settings: SLSQP, max 50 iterations, ftol 1e-6
-result = problem.optimize_slsqp(max_iterations=50, ftol=1e-6)
+# reference expe optimizer settings: SLSQP, max 50 iterations, ftol 1e-6.
+# feasible_start projects x0 onto the density surface first — scipy >= 1.16's
+# C SLSQP mishandles the reference's infeasible start (see feasible_x0).
+result = problem.optimize_slsqp(max_iterations=50, ftol=1e-6,
+                                feasible_start=True)
 t_online = time.time() - t0
 print(f"online SLSQP: {t_online:.1f} s, {result.iterations} iterations")
 print(f"compliance {result.objective:.6e}, density {result.density:.4f}")

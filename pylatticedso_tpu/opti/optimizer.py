@@ -223,11 +223,42 @@ class OptimizationProblem:
             self.iteration_callback(rec)
 
     # ------------------------------------------------------------------
+    def feasible_x0(self, x0=None) -> np.ndarray:
+        """Project the start point onto the density-feasible set by a
+        uniform parameter shift (bisection).
+
+        The reference's records start SLSQP at the (density-infeasible)
+        config radii; its era's Fortran SLSQP line search rejected the
+        resulting full Newton step, but scipy >= 1.16's C SLSQP accepts it
+        and slams every parameter to a bound (verified: the first QP step
+        from an infeasible x0 needs a constraint multiplier ~|violation| /
+        |drho|^2 ~ 600, which saturates all boxes).  Starting on the
+        constraint surface sidesteps the pathology with no change to the
+        problem or its optima.
+        """
+        x0 = np.asarray(self.param.x0 if x0 is None else x0, dtype=float)
+        if self._density_vg is None:
+            return x0
+        spec = self.constraints["relative_density"]
+        target, mode = spec["value"], spec.get("mode", "upper")
+        rho = lambda s: float(self._density_vg(
+            jnp.clip(jnp.asarray(x0 + s), self.param.lower,
+                     self.param.upper))[0]) - target
+        r0 = rho(0.0)
+        if (mode == "upper" and r0 <= 0) or (mode == "lower" and r0 >= 0):
+            return x0
+        from scipy.optimize import brentq
+        lo, hi = (-2.0, 0.0) if r0 > 0 else (0.0, 2.0)
+        s = brentq(rho, lo, hi, xtol=1e-9)
+        return np.clip(x0 + s, self.param.lower, self.param.upper)
+
     def optimize_slsqp(self, max_iterations: int = 20, ftol: float = 1e-9,
-                       normalize_objective: bool = True) -> OptimizationResult:
+                       normalize_objective: bool = True,
+                       feasible_start: bool = False) -> OptimizationResult:
         """SLSQP driver.  ``normalize_objective`` divides by the first
         objective value (normalize_objective, lattice_opti.py:1333-1342) so
-        ftol acts on relative improvements."""
+        ftol acts on relative improvements.  ``feasible_start`` projects x0
+        onto the density constraint first (see ``feasible_x0``)."""
         from scipy.optimize import Bounds, NonlinearConstraint, minimize
 
         vg = self._value_and_grad
@@ -260,8 +291,10 @@ class OptimizationProblem:
 
             cons.append(NonlinearConstraint(cfun, lb, ub, jac=cjac))
 
+        x0 = self.feasible_x0() if feasible_start \
+            else np.asarray(self.param.x0, dtype=float)
         res = minimize(
-            fun, np.asarray(self.param.x0, dtype=float), jac=True,
+            fun, x0, jac=True,
             method="SLSQP",
             bounds=Bounds(self.param.lower, self.param.upper),
             constraints=cons,

@@ -358,7 +358,21 @@ class StructuredLattice:
             return apply_gather(u, prepare_gather(radius))
 
         import os
-        if os.environ.get("PLDSO_MATVEC", "gather") == "gather":
+        mode = os.environ.get("PLDSO_MATVEC", "gather")
+        if mode == "pallas":
+            from .stencil_pallas import make_pallas_matvec, pallas_supported
+            if pallas_supported(self) and self.dtype == jnp.float32:
+                prep_p, apply_p = make_pallas_matvec(
+                    self, prepare_gather, apply_gather)
+
+                def matvec_pallas(u, radius):
+                    return apply_p(u, prep_p(radius))
+
+                matvec_pallas.prepare = prep_p
+                matvec_pallas.apply = apply_p
+                return matvec_pallas, diag
+            mode = "gather"          # tiny (coarse) grids: XLA form wins
+        if mode == "gather":
             matvec_gather.prepare = prepare_gather
             matvec_gather.apply = apply_gather
             return matvec_gather, diag

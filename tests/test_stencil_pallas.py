@@ -1,0 +1,59 @@
+"""Pallas fused stencil matvec vs the XLA gather form (interpret mode on
+CPU; the real-TPU run is scripts/test_pallas_matvec.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pylatticedso_tpu.parallel.structured import StructuredLattice
+from pylatticedso_tpu.parallel.stencil_pallas import (make_pallas_matvec,
+                                                      pallas_supported)
+
+
+@pytest.mark.parametrize("geom,n", [("BCC", 5), ("Octet", 4)])
+def test_pallas_matches_gather(geom, n):
+    slat = StructuredLattice(geom, (n, n, n), (1.0, 1.0, 1.0), 1013.0, 0.3)
+    mv, _ = slat.make_matvec()
+    prep_p, apply_p = make_pallas_matvec(slat, mv.prepare, mv.apply,
+                                         tile=1024, interpret=True)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((slat.nc, 6) + slat.grid), jnp.float32)
+    r = jnp.asarray(0.04 + 0.05 * rng.random((n, n, n)), jnp.float32)
+    yg = mv.apply(u, mv.prepare(r))
+    yp = apply_p(u, prep_p(r))
+    err = float(jnp.max(jnp.abs(yg - yp)) / jnp.max(jnp.abs(yg)))
+    assert err < 1e-5
+
+
+def test_pallas_erased_cells_and_grad():
+    n = 4
+    valid = np.ones((n, n, n), bool)
+    valid[1, 2, 3] = False
+    valid[0, 0, 0] = False
+    slat = StructuredLattice("BCC", (n, n, n), (1.0, 1.0, 1.0), 1013.0, 0.3,
+                             cell_valid=valid)
+    mv, _ = slat.make_matvec()
+    prep_p, apply_p = make_pallas_matvec(slat, mv.prepare, mv.apply,
+                                         tile=512, interpret=True)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.standard_normal((slat.nc, 6) + slat.grid), jnp.float32)
+    r = jnp.asarray(0.04 + 0.05 * rng.random((n, n, n)), jnp.float32)
+    yg = mv.apply(u, mv.prepare(r))
+    yp = apply_p(u, prep_p(r))
+    assert float(jnp.max(jnp.abs(yg - yp)) / jnp.max(jnp.abs(yg))) < 1e-5
+
+    # custom VJP: grad w.r.t. u (kernel symmetry) and radius (XLA fallback)
+    def loss(form_prep, form_apply, r_):
+        return jnp.sum(form_apply(u, form_prep(r_)) ** 2)
+
+    gg = jax.grad(lambda r_: loss(mv.prepare, mv.apply, r_))(r)
+    gp = jax.grad(lambda r_: loss(prep_p, apply_p, r_))(r)
+    assert float(jnp.max(jnp.abs(gg - gp)) / (jnp.max(jnp.abs(gg)) + 1e-30)) \
+        < 1e-4
+
+
+def test_pallas_supported_threshold():
+    small = StructuredLattice("BCC", (3, 3, 3), (1.0, 1.0, 1.0), 1013.0, 0.3)
+    big = StructuredLattice("BCC", (40, 40, 40), (1.0, 1.0, 1.0), 1013.0, 0.3)
+    assert not pallas_supported(small)
+    assert pallas_supported(big)
