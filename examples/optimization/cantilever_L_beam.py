@@ -11,6 +11,14 @@ import sys
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
 
+# the DDM surrogate chain is a host-sized problem (27 cells, ~2k interface
+# DOFs) whose penalized Schur blocks are too ill-conditioned for f32: the
+# tol-1e-9 interface CG needs f64 (on the f32 TPU it stalls at the roundoff
+# floor and SLSQP sees noise).  Run it on CPU in x64 like the reference.
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 import json
 import os
 import time
@@ -62,10 +70,12 @@ print(f"offline (Schur grid + RB + RBF): {t_offline:.1f} s; "
 
 t0 = time.time()
 # reference expe optimizer settings: SLSQP, max 50 iterations, ftol 1e-6.
-# feasible_start projects x0 onto the density surface first — scipy >= 1.16's
-# C SLSQP mishandles the reference's infeasible start (see feasible_x0).
+# feasible_start projects x0 onto the density surface first and move_limit
+# trust-bounds each SLSQP step — scipy >= 1.16's C SLSQP otherwise accepts
+# an unbounded first QP step from the reference's infeasible start and
+# wanders through surrogate-invalid corners (see optimize_slsqp docstring).
 result = problem.optimize_slsqp(max_iterations=50, ftol=1e-6,
-                                feasible_start=True)
+                                feasible_start=True, move_limit=0.1)
 t_online = time.time() - t0
 print(f"online SLSQP: {t_online:.1f} s, {result.iterations} iterations")
 print(f"compliance {result.objective:.6e}, density {result.density:.4f}")

@@ -136,18 +136,22 @@ def pcg_refined(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
 
 def linear_solve(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
                  x0: Optional[jnp.ndarray] = None, maxiter: int = 2000,
-                 tol: float = 1e-12) -> jnp.ndarray:
+                 tol: float = 1e-12, alpha_max: Optional[float] = None,
+                 restart_every: int = 0) -> jnp.ndarray:
     """Differentiable SPD solve: custom_linear_solve with CG forward/adjoint.
 
     Gradients w.r.t. anything entering ``A`` or ``b`` flow through the
     implicit function theorem; the transpose solve is the same CG because the
-    operator is symmetric.
+    operator is symmetric.  ``alpha_max``/``restart_every`` are the reference
+    CG's robustness guards (conjugate_gradient_solver.py:15-122) for
+    operators carrying surrogate noise.
     """
 
     def mv(x):
         return A(x)
 
     def solve_fn(matvec, rhs):
-        return pcg(matvec, rhs, M=M, x0=x0, maxiter=maxiter, tol=tol).x
+        return pcg(matvec, rhs, M=M, x0=x0, maxiter=maxiter, tol=tol,
+                   alpha_max=alpha_max, restart_every=restart_every).x
 
     return jax.lax.custom_linear_solve(mv, b, solve_fn, symmetric=True)

@@ -106,8 +106,14 @@ class DDMOptimizationProblem(OptimizationProblem):
     def __init__(self, lattice: Lattice, surrogate: Optional[SchurSurrogate] = None,
                  tol_greedy: float = 1e-6, grid_step: float = 0.01,
                  share_weights: bool = True, penalization: bool = False,
-                 **kwargs):
+                 spd_shift: float = 1e-6, **kwargs):
         super().__init__(lattice, **kwargs)
+        #: relative diagonal shift added to every reconstructed Schur block.
+        #: RBF interpolation error (~1e-3 relative) can push a cell's
+        #: near-null rigid-body modes slightly NEGATIVE at the sample-grid
+        #: edges (measured -1.6e-5 at r = r_min), making the interface
+        #: operator indefinite and CG divergent on SLSQP line-search trials.
+        self.spd_shift = spd_shift
         self._surrogate = surrogate or build_schur_surrogate(
             lattice, self.material, self.param.min_radius,
             self.param.max_radius, step=grid_step, tol_greedy=tol_greedy,
@@ -136,7 +142,11 @@ class DDMOptimizationProblem(OptimizationProblem):
         vec = alpha @ self._basis.T                                  # [C, m*m]
         n = self._m
         S = jnp.transpose(vec.reshape(-1, n, n), (0, 2, 1))          # F-order unravel
-        return 0.5 * (S + jnp.transpose(S, (0, 2, 1)))               # SPD hygiene
+        S = 0.5 * (S + jnp.transpose(S, (0, 2, 1)))                  # SPD hygiene
+        if self.spd_shift:
+            tr = jnp.einsum("cii->c", S) / n
+            S = S + (self.spd_shift * tr)[:, None, None] * jnp.eye(n, dtype=S.dtype)
+        return S
 
     def _solve_u(self, radius_e=None, *, theta=None):
         raise RuntimeError("use _objective_theta")
@@ -165,7 +175,14 @@ class DDMOptimizationProblem(OptimizationProblem):
         diag = jnp.where(diag == 0, 1.0, diag)
 
         b = free * (f - K(u_imp)) + (1.0 - free) * u_imp
+        # periodic restart (reference CG guard, conjugate_gradient_solver.py):
+        # surrogate interpolation noise can make the interface operator
+        # momentarily indefinite on SLSQP line-search trials; restarting
+        # bounds the drift.  The reference also clamps alpha at 0.1, but
+        # under OUR Jacobi scaling natural CG steps are O(1) — the clamp
+        # stalls convergence entirely (measured), so it stays off.
         u = linear_solve(A, b, M=lambda r: r / diag,
-                         maxiter=self.cg_maxiter, tol=self.cg_tol)
+                         maxiter=self.cg_maxiter, tol=self.cg_tol,
+                         restart_every=1000)
         u = free * u + (1.0 - free) * u_imp
         return self._objective_u(u)

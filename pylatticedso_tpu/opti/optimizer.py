@@ -254,25 +254,44 @@ class OptimizationProblem:
 
     def optimize_slsqp(self, max_iterations: int = 20, ftol: float = 1e-9,
                        normalize_objective: bool = True,
-                       feasible_start: bool = False) -> OptimizationResult:
+                       feasible_start: bool = False,
+                       move_limit: Optional[float] = None) -> OptimizationResult:
         """SLSQP driver.  ``normalize_objective`` divides by the first
         objective value (normalize_objective, lattice_opti.py:1333-1342) so
         ftol acts on relative improvements.  ``feasible_start`` projects x0
-        onto the density constraint first (see ``feasible_x0``)."""
+        onto the density constraint first (see ``feasible_x0``).
+
+        ``move_limit``: per-outer-iteration box |x_k+1 - x_k| <= delta (the
+        classic topology-optimization safeguard).  scipy >= 1.16's C SLSQP
+        accepts the unbounded first QP step of badly scaled problems and
+        saturates every parameter bound, wandering through surrogate-invalid
+        corners; a move limit keeps each step trusted while converging to
+        the same KKT point.  Implemented as repeated 1-iteration SLSQP calls
+        with shrinking boxes around the current iterate."""
         from scipy.optimize import Bounds, NonlinearConstraint, minimize
 
         vg = self._value_and_grad
         scale = {"c0": None}
+        # raw objective per evaluated point, so the iteration callback can
+        # record f(x_k) rather than the last line-search trial's value
+        evals: Dict[bytes, float] = {}
 
         def fun(x):
             v, g = vg(jnp.asarray(x))
             v, g = float(v), np.asarray(g, dtype=float)
             scale["last_raw"] = v
+            evals[np.asarray(x, dtype=float).tobytes()] = v
             if normalize_objective:
                 if scale["c0"] is None:
                     scale["c0"] = abs(v) if v != 0 else 1.0
                 v, g = v / scale["c0"], g / scale["c0"]
             return v, g
+
+        def raw_at(x):
+            key = np.asarray(x, dtype=float).tobytes()
+            if key not in evals:
+                evals[key] = float(vg(jnp.asarray(x))[0])
+            return evals[key]
 
         cons = []
         if self._density_vg is not None:
@@ -293,23 +312,46 @@ class OptimizationProblem:
 
         x0 = self.feasible_x0() if feasible_start \
             else np.asarray(self.param.x0, dtype=float)
-        res = minimize(
-            fun, x0, jac=True,
-            method="SLSQP",
-            bounds=Bounds(self.param.lower, self.param.upper),
-            constraints=cons,
-            callback=lambda x: self._record(x, scale["last_raw"]),
-            options={"maxiter": max_iterations, "ftol": ftol},
-        )
-        theta = res.x
-        raw_obj = float(res.fun) * (scale["c0"] if normalize_objective and
-                                    scale["c0"] else 1.0)
+        if move_limit is None:
+            res = minimize(
+                fun, x0, jac=True,
+                method="SLSQP",
+                bounds=Bounds(self.param.lower, self.param.upper),
+                constraints=cons,
+                callback=lambda x: self._record(x, raw_at(x)),
+                options={"maxiter": max_iterations, "ftol": ftol},
+            )
+            theta, nit = res.x, int(res.nit)
+            success, message = bool(res.success), str(res.message)
+        else:
+            x = np.asarray(x0, dtype=float)
+            f_prev = None
+            success, message = False, "move-limit iteration cap reached"
+            nit = 0
+            for it in range(max_iterations):
+                lo = np.maximum(self.param.lower, x - move_limit)
+                hi = np.minimum(self.param.upper, x + move_limit)
+                res = minimize(fun, x, jac=True, method="SLSQP",
+                               bounds=Bounds(lo, hi), constraints=cons,
+                               options={"maxiter": 1, "ftol": 0.0})
+                x = np.clip(res.x, lo, hi)
+                nit = it + 1
+                f_now = raw_at(x)
+                self._record(x, f_now)
+                if f_prev is not None and np.isfinite(f_now) \
+                        and abs(f_prev - f_now) <= ftol * max(abs(f_prev), 1e-30):
+                    success, message = True, "move-limit ftol satisfied"
+                    break
+                f_prev = f_now
+            theta = x
+        # res.fun can hold a rejected trial's value; report f(res.x)
+        raw_obj = raw_at(theta)
         return OptimizationResult(
             theta=theta, radii=np.asarray(self.param.cell_radii(jnp.asarray(theta))),
             objective=raw_obj,
             density=self.density(theta) if self._density_vg is not None else float("nan"),
-            iterations=int(res.nit), success=bool(res.success),
-            history=self.history, message=str(res.message))
+            iterations=nit, success=success,
+            history=self.history, message=message)
 
     def optimize_projected(self, max_iterations: int = 100, step: float = None,
                            tol: float = 1e-8) -> OptimizationResult:

@@ -43,8 +43,8 @@ __all__ = ["build_mg_hierarchy", "mg_preconditioner"]
 
 
 # ---------------------------------------------------------------- transfers
-def _prolong1(c: jnp.ndarray, X: int, axis: int, frac: float) -> jnp.ndarray:
-    """1-D linear interpolation coarse->fine along ``axis`` (factor 2),
+def _interp_matrix(X: int, C: int, frac: float) -> np.ndarray:
+    """[X, C] 1-D linear interpolation matrix coarse->fine (factor 2),
     offset-aware.
 
     A class with fractional template coordinate ``frac`` has its fine node p
@@ -52,26 +52,20 @@ def _prolong1(c: jnp.ndarray, X: int, axis: int, frac: float) -> jnp.ndarray:
     fine sample interpolates the coarse field at t = (p - frac) / 2 — NOT at
     p/2.  Ignoring the offset makes the transfer first-order only and CG
     iteration counts grow with N; honoring it keeps them near
-    mesh-independent.  Boundary samples extrapolate linearly (offset classes
-    have fine nodes outside the coarse sample hull; clamping would break
-    affine exactness in the boundary layer).
+    mesh-independent.  Out-of-hull samples extrapolate linearly (expressed
+    by weights outside [0, 1] on the clamped end interval; clamping values
+    instead would break affine exactness in the boundary layer).
     """
-    c = jnp.moveaxis(c, axis, -1)
-    C = c.shape[-1]
-    lo = 2.0 * c[..., :1] - c[..., 1:2] if C > 1 else c[..., :1]
-    hi = 2.0 * c[..., -1:] - c[..., -2:-1] if C > 1 else c[..., -1:]
-    cpad = jnp.concatenate([lo, c, hi], axis=-1)
-    out = jnp.zeros(c.shape[:-1] + (2 * C,), c.dtype)
-    for parity in (0, 1):
-        delta = (parity - frac) / 2.0           # t = m + delta, p = 2m+parity
-        if delta >= 0:
-            w0, w1, base = 1.0 - delta, delta, 0        # c[m], c[m+1]
-        else:
-            w0, w1, base = -delta, 1.0 + delta, -1      # c[m-1], c[m]
-        v = (w0 * cpad[..., 1 + base:1 + base + C]
-             + w1 * cpad[..., 2 + base:2 + base + C])
-        out = out.at[..., parity::2].set(v)
-    return jnp.moveaxis(out[..., :X], -1, axis)
+    P = np.zeros((X, C))
+    if C == 1:
+        P[:, 0] = 1.0
+        return P
+    pos = (np.arange(X) - frac) / 2.0
+    i0 = np.clip(np.floor(pos).astype(int), 0, C - 2)
+    w1 = pos - i0
+    P[np.arange(X), i0] += 1.0 - w1
+    P[np.arange(X), i0 + 1] += w1
+    return P
 
 
 def make_transfers(fine_grid: Tuple[int, int, int],
@@ -80,21 +74,29 @@ def make_transfers(fine_grid: Tuple[int, int, int],
     """(prolong, restrict) for [nc, 6, X, Y, Z] class fields.
 
     Each class interpolates with its own per-axis sub-cell offsets
-    (``class_keys`` [nc, 3], fractions in [0, 1)).  restrict == prolong^T
-    exactly (``jax.linear_transpose``), which the symmetry of the V-cycle
-    preconditioner requires.
+    (``class_keys`` [nc, 3], fractions in [0, 1)).  Implemented as three
+    per-axis batched dense matmuls (einsum over stacked per-class [X, C]
+    interpolation matrices) — one MXU op per axis instead of a per-class
+    Python loop of strided interleaves, whose ~2x12 small XLA ops cost
+    ~1.4 ms of pure launch overhead per transfer at 50^3.  restrict ==
+    prolong^T exactly (``jax.linear_transpose``), which the symmetry of
+    the V-cycle preconditioner requires.
     """
-    X, Y, Z = fine_grid
     keys = np.asarray(class_keys, dtype=float)
+    nc = len(keys)
+    Ps = []
+    for a in range(3):
+        P = np.stack([_interp_matrix(fine_grid[a], coarse_grid[a],
+                                     float(keys[ci][a])) for ci in range(nc)])
+        Ps.append(P)                              # [nc, fine_a, coarse_a]
 
     def prolong(c):
-        outs = []
-        for ci in range(c.shape[0]):
-            fx, fy, fz = keys[ci]
-            f = _prolong1(c[ci:ci + 1], X, 2, float(fx))
-            f = _prolong1(f, Y, 3, float(fy))
-            outs.append(_prolong1(f, Z, 4, float(fz)))
-        return jnp.concatenate(outs, axis=0)
+        P0 = jnp.asarray(Ps[0], c.dtype)
+        P1 = jnp.asarray(Ps[1], c.dtype)
+        P2 = jnp.asarray(Ps[2], c.dtype)
+        f = jnp.einsum("cdqyz,cxq->cdxyz", c, P0)
+        f = jnp.einsum("cdxqz,cyq->cdxyz", f, P1)
+        return jnp.einsum("cdxyq,czq->cdxyz", f, P2)
 
     def restrict(f):
         # transpose w.r.t. the standard inner product; shape-specialized

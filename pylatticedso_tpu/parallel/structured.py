@@ -455,12 +455,43 @@ def make_structured_compliance_step(slat: StructuredLattice,
 
     vag = jax.jit(jax.value_and_grad(compliance, has_aux=True))
 
+    # self-adjoint fast path: for pure compliance with zero imposed
+    # displacements, the adjoint equals the primal solution (A symmetric,
+    # rhs == objective cotangent), so dc/dtheta = -u.(dA/dtheta).u — ONE
+    # differentiated matvec instead of a second CG solve.  The reference
+    # exploits the same identity (u^T dS/dr u per-cell compliance terms,
+    # lattice_opti.py:701-760).  Off by default: with warm starts the
+    # adjoint CG re-solve converges in a handful of iterations, and the
+    # implicit-diff path measures FASTER on TPU (0.275 vs 0.355 s per 50^3
+    # descent step) than this path's extra prepare/apply VJP pass.
+    import os as _os
+    selfadjoint = (objective is None and u_imposed is None
+                   and _os.environ.get("PLDSO_SELFADJOINT") == "1")
+
+    def _sa_step(radius_field, u0):
+        u = _solve(jax.lax.stop_gradient(radius_field), free, f, u0)
+        u = jax.lax.stop_gradient(u)
+        c = jnp.sum(f * u)
+        uf = free * u
+
+        def q(rf):
+            if hasattr(matvec, "prepare"):
+                return jnp.sum(uf * matvec.apply(uf, matvec.prepare(rf)))
+            return jnp.sum(uf * matvec(uf, rf))
+
+        g = -jax.grad(q)(radius_field)
+        return c, g, u
+
+    sa_jit = jax.jit(_sa_step) if selfadjoint else None
+
     def step(radius_field, u0=None):
         """Returns (compliance, grad, u); pass the previous step's u as
         ``u0`` to warm-start the solves (fewer CG iterations in a descent
         loop; exactness unaffected)."""
         if u0 is None:
             u0 = jnp.zeros_like(f)
+        if sa_jit is not None:
+            return sa_jit(radius_field, u0)
         (c, u), g = vag(radius_field, free, f, u0)
         return c, g, u
 
