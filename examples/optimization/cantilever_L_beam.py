@@ -69,15 +69,19 @@ print(f"offline (Schur grid + RB + RBF): {t_offline:.1f} s; "
       f"RB size {problem._surrogate.basis.shape[1]}")
 
 t0 = time.time()
-# reference expe optimizer settings: SLSQP, max 50 iterations, ftol 1e-6.
-# feasible_start projects x0 onto the density surface first and move_limit
-# trust-bounds each SLSQP step — scipy >= 1.16's C SLSQP otherwise accepts
-# an unbounded first QP step from the reference's infeasible start and
-# wanders through surrogate-invalid corners (see optimize_slsqp docstring).
-result = problem.optimize_slsqp(max_iterations=50, ftol=1e-6,
+# reference expe optimizer settings: SLSQP, ftol 1e-6.  Two phases:
+# feasible_start projects x0 onto the density surface and move_limit
+# trust-bounds each step (scipy >= 1.16's C SLSQP otherwise accepts an
+# unbounded first QP step from the reference's infeasible start and
+# wanders through surrogate-invalid corners — see optimize_slsqp); a free
+# SLSQP polish from the move-limited optimum then converges to KKT.
+result = problem.optimize_slsqp(max_iterations=120, ftol=1e-7,
                                 feasible_start=True, move_limit=0.1)
+problem.param.x0 = np.asarray(result.theta)
+result = problem.optimize_slsqp(max_iterations=50, ftol=1e-6)
 t_online = time.time() - t0
-print(f"online SLSQP: {t_online:.1f} s, {result.iterations} iterations")
+print(f"online SLSQP: {t_online:.1f} s, {result.iterations} iterations "
+      f"(success {result.success})")
 print(f"compliance {result.objective:.6e}, density {result.density:.4f}")
 print(f"TOTAL {t_offline + t_online:.1f} s (reference record: 325 s, "
       f"35 iterations, compliance 4.403e-3, rho 0.300)")
