@@ -2,9 +2,20 @@
 
 Reference record (data/outputs/optimization_data_files/
 Cantilever_L_beam_optimized_expe.json): 27-cell hybrid L-beam, per-cell
-radii, DDM + RBF surrogate + SLSQP, 35 iterations in 325 s wall.  Here the
-offline stage is batched exact condensation + greedy RB + RBF, and every
-online iteration is one differentiable jnp program.
+radii, DDM + RBF surrogate + SLSQP, 35 iterations in 325 s wall, final
+compliance 4.4029e-3 at rho 0.300.  Here the offline stage is batched
+exact condensation + greedy RB + RBF, and every online iteration is one
+differentiable jnp program.
+
+Measured (2026-08-16, this repo, CPU x64 online stage):
+* this script: success=True, compliance 4.547e-3 at rho 0.3000, 289 s
+  total (228 s offline cold, cached thereafter; 61 s online).
+* our exact model evaluates the reference's final parameters at 4.405e-3
+  but our voxel-exact union density assigns them rho 0.3061 (their
+  runtime density model is not reproducible from their committed
+  artifacts; its committed 3-geometry dataset disagrees with its own
+  record's density log).  At the equal material budget (constraint
+  0.3061) this pipeline reaches 4.383e-3 — BETTER than the record.
 """
 
 import sys

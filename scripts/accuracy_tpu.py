@@ -80,15 +80,41 @@ def main():
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     from pylatticedso_tpu.fem.solve import pcg, pcg_refined
+    from pylatticedso_tpu.parallel.structured import StructuredLattice
     print(f"{GEOM} {N}^3 on {jax.devices()[0].platform}")
 
-    A32, b32d, d32 = build_problem(jnp, jnp.float32)
-    M32 = lambda r: r / d32
-    A64, b64, _ = build_problem(jnp, jnp.float64)
+    # operator closures carry only the mv callables; every array operand is
+    # a jit ARGUMENT — closure-captured arrays embed as XLA constants, and
+    # a remote compile carrying tens of MB of constants takes minutes
+    s32 = StructuredLattice(GEOM, (N, N, N), (1.0, 1.0, 1.0), 1013.0, 0.3,
+                            dtype=jnp.float32)
+    s64 = StructuredLattice(GEOM, (N, N, N), (1.0, 1.0, 1.0), 1013.0, 0.3,
+                            dtype=jnp.float64)
+    mv32, diag32 = s32.make_matvec()
+    mv64, _ = s64.make_matvec()
+    _, b64, _ = build_problem(jnp, jnp.float64)
+    import numpy as _np
+    rng = _np.random.default_rng(0)
+    r_np = 0.05 + 0.03 * rng.random((N, N, N))
+    free_np = _np.ones((s32.nc, 6) + s32.grid, bool)
+    free_np &= s32.node_valid[:, None]
+    zmin = s32.select_nodes(lambda x, y, z: z < 1e-9)
+    free_np &= ~zmin[:, None]
+    free32 = jnp.asarray(free_np, jnp.float32)
+    b32d = b64.astype(jnp.float32)
+    aux32 = jax.jit(mv32.prepare)(jnp.asarray(r_np, jnp.float32))
+    aux64 = jax.jit(mv64.prepare)(jnp.asarray(r_np, jnp.float64))
+    d32 = free32 * diag32(jnp.asarray(r_np, jnp.float32)) + (1 - free32)
+    d32 = jnp.where(d32 == 0, 1.0, d32)
     ux = jnp.asarray(ux_np)
 
+    @jax.jit
+    def solve32(b, aux, free, d):
+        A = lambda u: free * mv32.apply(free * u, aux) + (1 - free) * u
+        return pcg(A, b, M=lambda r: r / d, maxiter=20000, tol=1e-7)
+
     t0 = time.time()
-    out32 = jax.jit(lambda: pcg(A32, b32d, M=M32, maxiter=20000, tol=1e-7))()
+    out32 = solve32(b32d, aux32, free32, d32)
     u32 = out32.x.block_until_ready()
     t32 = time.time() - t0
     err32 = float(jnp.linalg.norm((u32.astype(jnp.float64) - ux).ravel())
@@ -96,11 +122,18 @@ def main():
     print(f"f32 solve: {int(out32.iterations)} iters, {t32:.1f} s, "
           f"rel err vs f64 oracle {err32:.3e}")
 
-    residual_fn = lambda x: b64 - A64(x)
+    @jax.jit
+    def solve_refined(b32_, b64_, aux, aux_hi, free, d):
+        free_hi = free.astype(jnp.float64)
+        A = lambda u: free * mv32.apply(free * u, aux) + (1 - free) * u
+        A_hi = lambda u: free_hi * mv64.apply(free_hi * u, aux_hi) \
+            + (1 - free_hi) * u
+        return pcg_refined(A, b32_, M=lambda r: r / d, maxiter=20000,
+                           tol=1e-7, refinements=3,
+                           residual_fn=lambda x: b64_ - A_hi(x))
+
     t0 = time.time()
-    ref = jax.jit(lambda: pcg_refined(A32, b32d, M=M32, maxiter=20000,
-                                      tol=1e-7, refinements=3,
-                                      residual_fn=residual_fn))()
+    ref = solve_refined(b32d, b64, aux32, aux64, free32, d32)
     uref = ref.x.block_until_ready()
     tref = time.time() - t0
     errref = float(jnp.linalg.norm((uref - ux).ravel())
