@@ -127,20 +127,25 @@ def run(n: int):
                                 maxiter=int(os.environ.get("BENCH_MAXITER", "6000")))
     r = shl.radius_padded(lat.radius)
 
-    # compile + warm up on a 1-step loop, then time a K-step fully
-    # device-resident projected-gradient descent: one dispatch for all
-    # iterations, so per-call host/tunnel overhead cannot pollute the
-    # per-iteration figure; chaining also defeats execution memoization
+    # warm-started per-step drive through step.chunked: the tunneled TPU
+    # kills single executions beyond a few minutes, so each dispatch is
+    # bounded to `chunk` CG iterations (host checks convergence between
+    # chunks) and the gradient comes from the compliance self-adjoint
+    # identity in one short dispatch
     K_STEPS = int(os.environ.get("BENCH_STEPS", "8"))
-    out = step.descent_loop(r, K_STEPS)
-    jax.block_until_ready(out)
+    chunk = int(os.environ.get("BENCH_CHUNK", "256"))
+    c, g, u, _ = step.chunked(r, chunk=chunk)          # compile + cold solve
     t1 = time.time()
-    out = step.descent_loop(r * 1.001, K_STEPS)
-    jax.block_until_ready(out)
+    rr = r * 1.001
+    lr = 1e-4
+    iters = 0
+    for _ in range(K_STEPS):
+        c, g, u, it = step.chunked(rr, u, chunk=chunk)
+        rr = jnp.clip(rr - lr * g, 0.01, 0.1) * (rr > 0)
+        iters += it
+    jax.block_until_ready((c, rr))
     total = time.time() - t1
     sec = total / K_STEPS
-    rr, c = out
-    g = jnp.zeros(())  # gradient lives inside the loop; report final radii
     target = 1.0
     print(json.dumps({
         "metric": f"{n}^3 {geom} ({dofs} DOF, {lat.num_edges} beams): "

@@ -317,6 +317,119 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
         return loop(radius0, n_steps, *step._operands)
 
     step.descent_loop = descent_loop
+
+    # ------------------------------------------------------------------
+    # chunked drive: the tunneled TPU kills single executions that run
+    # longer than a few minutes ("UNAVAILABLE: TPU device error"), and an
+    # unstructured 50^3 solve is thousands of ~100 ms scatter matvecs.
+    # step_chunked bounds every dispatch to `chunk` CG iterations (host
+    # checks convergence between dispatches, warm-starting each chunk) and
+    # gets the gradient from the compliance self-adjoint identity
+    # dc/dr = -u.(dA/dr).u — one short differentiated-matvec dispatch
+    # instead of a second full solve.
+    from ..fem.solve import pcg as _pcg
+
+    def _chunk_body(radius, u0, tT, a1T, a2T, Lv, validv, gather_ids,
+                    free, f, chunk):
+        r2 = radius * radius
+        S = jnp.pi * r2 * validv
+        I = jnp.pi * r2 * r2 / 4.0
+        ES, kGS = E_mod * S, kappa * G_mod * S
+        GJ, EI = G_mod * 2.0 * I * validv, E_mod * I * validv
+        invL = 1.0 / Lv
+        free_flat = free.reshape(-1)
+        f_flat = f.reshape(-1)
+
+        def matvec(u_flat):
+            g = u_flat[gather_ids].reshape(12, Epad)
+            du = g[6:9] - g[0:3]
+            ths = g[3:6] + g[9:12]
+            dth = g[9:12] - g[3:6]
+            dot = lambda A, B: jnp.sum(A * B, axis=0)
+            e0 = dot(du, tT) * invL
+            e1 = dot(du, a1T) * invL - dot(ths, a2T) * 0.5
+            e2 = dot(du, a2T) * invL + dot(ths, a1T) * 0.5
+            e3 = dot(dth, tT) * invL
+            e4 = dot(dth, a1T) * invL
+            e5 = dot(dth, a2T) * invL
+            s0, s1, s2 = ES * e0, kGS * e1, kGS * e2
+            s3, s4, s5 = GJ * e3, EI * e4, EI * e5
+            fu = s0 * tT + s1 * a1T + s2 * a2T
+            msh = (Lv * 0.5) * (-s1 * a2T + s2 * a1T)
+            mdf = s3 * tT + s4 * a1T + s5 * a2T
+            contrib = jnp.concatenate([-fu, msh - mdf, fu, msh + mdf]).reshape(-1)
+            return jax.ops.segment_sum(contrib, gather_ids,
+                                       num_segments=6 * n_nodes)
+
+        t2, a12, a22 = tT * tT, a1T * a1T, a2T * a2T
+        d_u = (ES * t2 + kGS * (a12 + a22)) * invL
+        d_th = (kGS * (a22 + a12)) * (Lv * 0.25) \
+            + (GJ * t2 + EI * (a12 + a22)) * invL
+        dcontrib = jnp.concatenate([d_u, d_th, d_u, d_th]).reshape(-1)
+        diag = jax.ops.segment_sum(dcontrib, gather_ids,
+                                   num_segments=6 * n_nodes)
+        diag = free_flat * diag + (1.0 - free_flat)
+        diag = jnp.where(diag == 0, 1.0, diag)
+
+        def A(u_flat):
+            return free_flat * matvec(free_flat * u_flat) \
+                + (1.0 - free_flat) * u_flat
+
+        b = free_flat * f_flat
+        out = _pcg(A, b, M=lambda r_: r_ / diag, x0=u0, maxiter=chunk,
+                   tol=tol)
+        return out.x, out.converged, out.residual_norm
+
+    chunk_jit = jax.jit(_chunk_body, static_argnums=10)
+
+    def _grad_q(radius, u, tT, a1T, a2T, Lv, validv, gather_ids, free, f):
+        free_flat = free.reshape(-1)
+        uf = free_flat * u
+
+        def q(r):
+            r2 = r * r
+            S = jnp.pi * r2 * validv
+            I = jnp.pi * r2 * r2 / 4.0
+            ES, kGS = E_mod * S, kappa * G_mod * S
+            GJ, EI = G_mod * 2.0 * I * validv, E_mod * I * validv
+            invL = 1.0 / Lv
+            g = uf[gather_ids].reshape(12, Epad)
+            du = g[6:9] - g[0:3]
+            ths = g[3:6] + g[9:12]
+            dth = g[9:12] - g[3:6]
+            dot = lambda A, B: jnp.sum(A * B, axis=0)
+            e0 = dot(du, tT) * invL
+            e1 = dot(du, a1T) * invL - dot(ths, a2T) * 0.5
+            e2 = dot(du, a2T) * invL + dot(ths, a1T) * 0.5
+            e3 = dot(dth, tT) * invL
+            e4 = dot(dth, a1T) * invL
+            e5 = dot(dth, a2T) * invL
+            # strain-energy form: u.K.u = sum_e (ES e0^2 + kGS (e1^2+e2^2)
+            # + GJ e3^2 + EI (e4^2+e5^2)) L  — no scatter needed
+            return jnp.sum((ES * e0 * e0 + kGS * (e1 * e1 + e2 * e2)
+                            + GJ * e3 * e3 + EI * (e4 * e4 + e5 * e5)) * Lv)
+
+        return -jax.grad(q)(radius)
+
+    grad_jit = jax.jit(_grad_q)
+
+    def step_chunked(radius_padded, u0=None, chunk: int = 256,
+                     max_chunks: int = 64):
+        """(compliance, grad, u, n_iters): tunnel-safe warm-startable
+        solve + self-adjoint gradient."""
+        u = jnp.zeros(6 * n_nodes, dtype=shl.dtype) if u0 is None else u0
+        iters = 0
+        for _ in range(max_chunks):
+            u, converged, _res = chunk_jit(radius_padded, u, *operands, chunk)
+            jax.block_until_ready(u)
+            iters += chunk
+            if bool(converged):
+                break
+        c = jnp.sum(operands[-1].reshape(-1) * u)
+        g = grad_jit(radius_padded, u, *operands)
+        return c, g, u, iters
+
+    step.chunked = step_chunked
     return step
 
 

@@ -96,3 +96,22 @@ def test_block_jacobi_not_slower_than_jacobi(setup):
              maxiter=20000, tol=1e-10)
     assert int(ob.iterations) <= int(oj.iterations)
     np.testing.assert_allclose(np.asarray(ob.x), np.asarray(oj.x), atol=1e-7)
+
+
+def test_chunked_step_matches_fused(setup):
+    """step.chunked (tunnel-safe chunked CG + self-adjoint gradient) must
+    reproduce the fused value_and_grad step."""
+    lat, bc, mesh, shl = setup
+    step = make_compliance_step(shl, ~bc.fixed, bc.f_applied, tol=1e-10,
+                                maxiter=2000)
+    r = shl.radius_padded(lat.radius)
+    c, g = step(r)
+    c2, g2, u, iters = step.chunked(r, chunk=64)
+    assert iters <= 2000
+    np.testing.assert_allclose(float(c2), float(c), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g),
+                               rtol=1e-5, atol=1e-12)
+    # warm restart from the converged solution finishes in one chunk
+    c3, _g3, _u3, iters3 = step.chunked(r, u, chunk=64)
+    assert iters3 <= 64
+    np.testing.assert_allclose(float(c3), float(c), rtol=1e-8)
