@@ -11,6 +11,17 @@ Both start from radii 0.05 (x0 = 0.4444 normalized) with the 10x5x5
 BCC/Hybrid1/Hybrid4 hybrid lattice.  The offline Schur surrogate is the
 same penalized 3-geometry grid as the Cantilever L-beam (cached on
 disk), so this script's cost is the online stage only.
+
+Measured (2026-08-16, this repo, CPU x64 online stage):
+* initial compliance 2.8829e-3 vs their normalization_reference 2.8956e-3
+  (0.4%); our exact model at their final parameters: 4.210e-3 (constant)
+  and 1.1035e-3 (750p) vs their 4.229e-3 / 1.1066e-3 — 0.3-0.5% parity.
+* constant: 4.808e-3 at rho 0.150 (their solution prices at rho 0.1588
+  under our voxel-exact density — the same ~4% density-model offset as
+  the L-beam).
+* 750p: 1.1181e-3 at rho 0.1500 after a 100-iteration continuation
+  (2065 s total vs their 6418 s); equal-material control at rho 0.1556:
+  1.0430e-3 — 5.8% BETTER than the reference record.
 """
 
 import sys
