@@ -110,9 +110,20 @@ class OptimizationProblem:
             cache = Path("data/outputs/density_datasets") / (
                 "_".join(lattice.config.geom_types)
                 + f"_{grid[0]:g}_{grid[-1]:g}_{len(grid)}.pkl")
-            ds = density_dataset(lattice.config.geom_types, grid,
-                                 resume_path=cache)
-            self._density_model = KrigingDensity.fit(ds)
+            # the GPR hyperparameter fit takes minutes on this host; cache
+            # the fitted closed-form parameters next to the dataset
+            fit_cache = cache.with_suffix(".gpr.npz")
+            if fit_cache.exists() and cache.exists() \
+                    and fit_cache.stat().st_mtime >= cache.stat().st_mtime:
+                self._density_model = KrigingDensity.load(fit_cache)
+            else:
+                ds = density_dataset(lattice.config.geom_types, grid,
+                                     resume_path=cache)
+                self._density_model = KrigingDensity.fit(ds)
+                try:
+                    self._density_model.save(fit_cache)
+                except OSError:
+                    pass
 
         self._value_and_grad = jax.jit(jax.value_and_grad(self._objective_theta))
         self._density_vg = (jax.jit(jax.value_and_grad(self._density_theta))

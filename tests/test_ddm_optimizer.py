@@ -30,10 +30,14 @@ def ddm_problem():
     # coarse grid + coarse per-cell mesh keeps the offline stage quick
     sur = build_schur_surrogate(lat, MatProperties("VeroClear"), 0.02, 0.1,
                                 step=0.02, target_h=0.3)
+    # spd_shift=0: this fixture feeds exactness tests (surrogate-vs-exact
+    # at an on-grid radius), and the default 1e-6 relative diagonal shift
+    # perturbs compliance at exactly the tested tolerance
     return DDMOptimizationProblem(lat, surrogate=sur,
                                   opt_params={"type": "unit_cell"},
                                   constraints={}, cg_tol=1e-11,
-                                  cg_maxiter=2000, min_radius=0.02)
+                                  cg_maxiter=2000, min_radius=0.02,
+                                  spd_shift=0.0)
 
 
 def test_ddm_gradient_matches_fd(ddm_problem):

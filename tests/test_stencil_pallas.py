@@ -55,5 +55,8 @@ def test_pallas_erased_cells_and_grad():
 def test_pallas_supported_threshold():
     small = StructuredLattice("BCC", (3, 3, 3), (1.0, 1.0, 1.0), 1013.0, 0.3)
     big = StructuredLattice("BCC", (40, 40, 40), (1.0, 1.0, 1.0), 1013.0, 0.3)
-    assert not pallas_supported(small)
-    assert pallas_supported(big)
+    # default threshold is 0 (the kernel wins at every size on TPU); an
+    # explicit min_points still gates
+    assert pallas_supported(small)
+    assert not pallas_supported(small, min_points=20000)
+    assert pallas_supported(big, min_points=20000)
