@@ -212,18 +212,18 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
     edges2 = shl.edges                   # [2, E]
     Epad = int(Lv.shape[0])
 
-    # flat gather ids: 12 slots (u1 xyz, th1 xyz, u2 xyz, th2 xyz) x E
+    # endpoint node ids: the state lives as [6, N] columns, so the matvec
+    # needs only TWO column-gathers of E node indices each (u[:, e0],
+    # u[:, e1]) and two column scatter-adds.  Measured on v5e at 660k
+    # edges: a [6,N]->[6,E] column gather is 1.7 ms where the flat
+    # 12E-element gather costs 53 ms (31x), and the column scatter-add is
+    # 10x faster than the unsorted segment_sum (XLA lowers elementwise
+    # gathers/scatters serially; column ops move 6-row slices).
     e_np = np.asarray(edges2)
-    gather_np = np.concatenate([
-        (e_np[0][None, :] * 6 + np.arange(3)[:, None]),      # u1
-        (e_np[0][None, :] * 6 + np.arange(3, 6)[:, None]),   # th1
-        (e_np[1][None, :] * 6 + np.arange(3)[:, None]),      # u2
-        (e_np[1][None, :] * 6 + np.arange(3, 6)[:, None]),   # th2
-    ]).astype(np.int32)                                       # [12, E]
-    gather_ids = jnp.asarray(gather_np.reshape(-1))
-    scatter_ids = gather_ids                                  # same slots
+    e0_ids = jnp.asarray(e_np[0].astype(np.int32))
+    e1_ids = jnp.asarray(e_np[1].astype(np.int32))
 
-    def compliance(radius, tT, a1T, a2T, Lv, validv, gather_ids, free, f):
+    def compliance(radius, tT, a1T, a2T, Lv, validv, e0_ids, e1_ids, free, f):
         r2 = radius * radius
         S = jnp.pi * r2 * validv
         I = jnp.pi * r2 * r2 / 4.0
@@ -232,15 +232,16 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
         invL = 1.0 / Lv
         half = 0.5
 
-        free_flat = free.reshape(-1)
-        f_flat = f.reshape(-1)
+        freeT = jnp.transpose(free.reshape(n_nodes, 6))      # [6, N]
+        fT = jnp.transpose(f.reshape(n_nodes, 6))
 
-        def matvec(u_flat):
-            g = u_flat[gather_ids].reshape(12, Epad)
-            du = g[6:9] - g[0:3]          # [3, E]
-            ths = g[3:6] + g[9:12]
-            dth = g[9:12] - g[3:6]
-            dot = lambda A, B: jnp.sum(A * B, axis=0)  # [E]
+        def matvec(u6):                                       # [6, N]
+            g1 = u6[:, e0_ids]                                # [6, E]
+            g2 = u6[:, e1_ids]
+            du = g2[:3] - g1[:3]                              # [3, E]
+            ths = g1[3:] + g2[3:]
+            dth = g2[3:] - g1[3:]
+            dot = lambda A, B: jnp.sum(A * B, axis=0)         # [E]
             e0 = dot(du, tT) * invL
             e1 = dot(du, a1T) * invL - dot(ths, a2T) * half
             e2 = dot(du, a2T) * invL + dot(ths, a1T) * half
@@ -249,37 +250,35 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
             e5 = dot(dth, a2T) * invL
             s0, s1, s2 = ES * e0, kGS * e1, kGS * e2
             s3, s4, s5 = GJ * e3, EI * e4, EI * e5
-            fu = s0 * tT + s1 * a1T + s2 * a2T              # [3, E]
+            fu = s0 * tT + s1 * a1T + s2 * a2T                # [3, E]
             msh = (Lv * half) * (-s1 * a2T + s2 * a1T)
             mdf = s3 * tT + s4 * a1T + s5 * a2T
-            contrib = jnp.concatenate([
-                -fu, msh - mdf, fu, msh + mdf]).reshape(-1)  # [12 E]
-            return jax.ops.segment_sum(contrib, scatter_ids,
-                                       num_segments=6 * n_nodes)
+            c1 = jnp.concatenate([-fu, msh - mdf])            # [6, E]
+            c2 = jnp.concatenate([fu, msh + mdf])
+            out = jnp.zeros((6, n_nodes), u6.dtype)
+            return out.at[:, e0_ids].add(c1).at[:, e1_ids].add(c2)
 
-        # scalar Jacobi diagonal, fully flat (block variant needs [N,6,6]
-        # storage whose padding is hostile at this scale)
+        # scalar Jacobi diagonal in the same column layout
         t2, a12, a22 = tT * tT, a1T * a1T, a2T * a2T
-        d_u = (ES * t2 + kGS * (a12 + a22)) * invL           # [3, E]
+        d_u = (ES * t2 + kGS * (a12 + a22)) * invL            # [3, E]
         d_th = (kGS * (a22 + a12)) * (Lv * 0.25) \
             + (GJ * t2 + EI * (a12 + a22)) * invL
-        dcontrib = jnp.concatenate([d_u, d_th, d_u, d_th]).reshape(-1)
-        diag = jax.ops.segment_sum(dcontrib, scatter_ids,
-                                   num_segments=6 * n_nodes)
-        diag = free_flat * diag + (1.0 - free_flat)
+        dvec = jnp.concatenate([d_u, d_th])                   # [6, E]
+        diag = jnp.zeros((6, n_nodes), dvec.dtype)
+        diag = diag.at[:, e0_ids].add(dvec).at[:, e1_ids].add(dvec)
+        diag = freeT * diag + (1.0 - freeT)
         diag = jnp.where(diag == 0, 1.0, diag)
         M = lambda r_: r_ / diag
 
-        def A(u_flat):
-            return free_flat * matvec(free_flat * u_flat) \
-                + (1.0 - free_flat) * u_flat
+        def A(u6):
+            return freeT * matvec(freeT * u6) + (1.0 - freeT) * u6
 
-        b = free_flat * f_flat
+        b = freeT * fT
         u = linear_solve(A, b, M=M, maxiter=maxiter, tol=tol)
-        return jnp.sum(f_flat * u)
+        return jnp.sum(fT * u)
 
     vag = jax.jit(jax.value_and_grad(compliance))
-    operands = (tT, a1T, a2T, Lv, validv, gather_ids, free_c, f_c)
+    operands = (tT, a1T, a2T, Lv, validv, e0_ids, e1_ids, free_c, f_c)
 
     def step(radius_padded):
         return vag(radius_padded, *operands)
@@ -290,7 +289,7 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
     def step_batch(radius_batch):
         """vmapped candidate population (radius batched, operands shared)."""
         fn = jax.jit(jax.vmap(jax.value_and_grad(compliance),
-                              in_axes=(0,) + (None,) * 8))
+                              in_axes=(0,) + (None,) * 9))
         return fn(radius_batch, *step._operands)
 
     step.batch = step_batch
@@ -329,7 +328,7 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
     # instead of a second full solve.
     from ..fem.solve import pcg as _pcg
 
-    def _chunk_body(radius, u0, tT, a1T, a2T, Lv, validv, gather_ids,
+    def _chunk_body(radius, u0, tT, a1T, a2T, Lv, validv, e0_ids, e1_ids,
                     free, f, chunk):
         r2 = radius * radius
         S = jnp.pi * r2 * validv
@@ -337,14 +336,15 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
         ES, kGS = E_mod * S, kappa * G_mod * S
         GJ, EI = G_mod * 2.0 * I * validv, E_mod * I * validv
         invL = 1.0 / Lv
-        free_flat = free.reshape(-1)
-        f_flat = f.reshape(-1)
+        freeT = jnp.transpose(free.reshape(n_nodes, 6))
+        fT = jnp.transpose(f.reshape(n_nodes, 6))
 
-        def matvec(u_flat):
-            g = u_flat[gather_ids].reshape(12, Epad)
-            du = g[6:9] - g[0:3]
-            ths = g[3:6] + g[9:12]
-            dth = g[9:12] - g[3:6]
+        def matvec(u6):
+            g1 = u6[:, e0_ids]
+            g2 = u6[:, e1_ids]
+            du = g2[:3] - g1[:3]
+            ths = g1[3:] + g2[3:]
+            dth = g2[3:] - g1[3:]
             dot = lambda A, B: jnp.sum(A * B, axis=0)
             e0 = dot(du, tT) * invL
             e1 = dot(du, a1T) * invL - dot(ths, a2T) * 0.5
@@ -357,34 +357,42 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
             fu = s0 * tT + s1 * a1T + s2 * a2T
             msh = (Lv * 0.5) * (-s1 * a2T + s2 * a1T)
             mdf = s3 * tT + s4 * a1T + s5 * a2T
-            contrib = jnp.concatenate([-fu, msh - mdf, fu, msh + mdf]).reshape(-1)
-            return jax.ops.segment_sum(contrib, gather_ids,
-                                       num_segments=6 * n_nodes)
+            c1 = jnp.concatenate([-fu, msh - mdf])
+            c2 = jnp.concatenate([fu, msh + mdf])
+            out = jnp.zeros((6, n_nodes), u6.dtype)
+            return out.at[:, e0_ids].add(c1).at[:, e1_ids].add(c2)
 
         t2, a12, a22 = tT * tT, a1T * a1T, a2T * a2T
         d_u = (ES * t2 + kGS * (a12 + a22)) * invL
         d_th = (kGS * (a22 + a12)) * (Lv * 0.25) \
             + (GJ * t2 + EI * (a12 + a22)) * invL
-        dcontrib = jnp.concatenate([d_u, d_th, d_u, d_th]).reshape(-1)
-        diag = jax.ops.segment_sum(dcontrib, gather_ids,
-                                   num_segments=6 * n_nodes)
-        diag = free_flat * diag + (1.0 - free_flat)
+        dvec = jnp.concatenate([d_u, d_th])
+        diag = jnp.zeros((6, n_nodes), dvec.dtype)
+        diag = diag.at[:, e0_ids].add(dvec).at[:, e1_ids].add(dvec)
+        diag = freeT * diag + (1.0 - freeT)
         diag = jnp.where(diag == 0, 1.0, diag)
 
-        def A(u_flat):
-            return free_flat * matvec(free_flat * u_flat) \
-                + (1.0 - free_flat) * u_flat
+        def A(u6):
+            return freeT * matvec(freeT * u6) + (1.0 - freeT) * u6
 
-        b = free_flat * f_flat
+        b = freeT * fT
         out = _pcg(A, b, M=lambda r_: r_ / diag, x0=u0, maxiter=chunk,
                    tol=tol)
         return out.x, out.converged, out.residual_norm
 
-    chunk_jit = jax.jit(_chunk_body, static_argnums=10)
+    chunk_jit = jax.jit(_chunk_body, static_argnums=11)
 
-    def _grad_q(radius, u, tT, a1T, a2T, Lv, validv, gather_ids, free, f):
-        free_flat = free.reshape(-1)
-        uf = free_flat * u
+    def _grad_q(radius, u6, tT, a1T, a2T, Lv, validv, e0_ids, e1_ids,
+                free, f):
+        freeT = jnp.transpose(free.reshape(n_nodes, 6))
+        uf = freeT * u6
+        g1 = uf[:, e0_ids]
+        g2 = uf[:, e1_ids]
+        du = g2[:3] - g1[:3]
+        ths = g1[3:] + g2[3:]
+        dth = g2[3:] - g1[3:]
+        dot = lambda A, B: jnp.sum(A * B, axis=0)
+        invL = 1.0 / Lv
 
         def q(r):
             r2 = r * r
@@ -392,12 +400,6 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
             I = jnp.pi * r2 * r2 / 4.0
             ES, kGS = E_mod * S, kappa * G_mod * S
             GJ, EI = G_mod * 2.0 * I * validv, E_mod * I * validv
-            invL = 1.0 / Lv
-            g = uf[gather_ids].reshape(12, Epad)
-            du = g[6:9] - g[0:3]
-            ths = g[3:6] + g[9:12]
-            dth = g[9:12] - g[3:6]
-            dot = lambda A, B: jnp.sum(A * B, axis=0)
             e0 = dot(du, tT) * invL
             e1 = dot(du, a1T) * invL - dot(ths, a2T) * 0.5
             e2 = dot(du, a2T) * invL + dot(ths, a1T) * 0.5
@@ -416,8 +418,9 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
     def step_chunked(radius_padded, u0=None, chunk: int = 256,
                      max_chunks: int = 64):
         """(compliance, grad, u, n_iters): tunnel-safe warm-startable
-        solve + self-adjoint gradient."""
-        u = jnp.zeros(6 * n_nodes, dtype=shl.dtype) if u0 is None else u0
+        solve + self-adjoint gradient.  ``u0``/returned ``u`` are [6, N]
+        column-layout fields."""
+        u = jnp.zeros((6, n_nodes), dtype=shl.dtype) if u0 is None else u0
         iters = 0
         for _ in range(max_chunks):
             u, converged, _res = chunk_jit(radius_padded, u, *operands, chunk)
@@ -425,7 +428,8 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
             iters += chunk
             if bool(converged):
                 break
-        c = jnp.sum(operands[-1].reshape(-1) * u)
+        fT = jnp.transpose(operands[-1].reshape(n_nodes, 6))
+        c = jnp.sum(fT * u)
         g = grad_jit(radius_padded, u, *operands)
         return c, g, u, iters
 
