@@ -27,9 +27,18 @@ def optimize_lattice(lattice, max_iterations=None, driver: str = "slsqp",
         normalized=cfg.get("enable_parameter_normalization", True),
     )
     common.update(kwargs)
+    robust_drive = False
     if sim_type == "DDM":
         from .ddm_optimizer import DDMOptimizationProblem
+        # the reference's DDM datasets are built on penalized cells
+        # (its dataset script re-applies set_penalized_beams per radius
+        # sample), so penalization defaults ON for the DDM route
+        common.setdefault("penalization", True)
         problem = DDMOptimizationProblem(lattice, **common)
+        # modern scipy's C SLSQP needs the feasible-start + move-limit
+        # drive on density-constrained surrogate problems (see
+        # OptimizationProblem.optimize_slsqp)
+        robust_drive = bool(common.get("constraints"))
     elif sim_type in ("FEM_STRUCTURED", "FEM_AUTO"):
         from .structured_optimizer import StructuredOptimizationProblem
         try:
@@ -43,7 +52,16 @@ def optimize_lattice(lattice, max_iterations=None, driver: str = "slsqp",
     iters = max_iterations if max_iterations is not None \
         else cfg.get("max_iterations", 20)
     if driver == "slsqp":
-        result = problem.optimize_slsqp(max_iterations=iters)
+        if robust_drive:
+            result = problem.optimize_slsqp(max_iterations=iters,
+                                            ftol=cfg.get("ftol", 1e-6),
+                                            feasible_start=True,
+                                            move_limit=0.1)
+            problem.param.x0 = result.theta
+            result = problem.optimize_slsqp(max_iterations=iters,
+                                            ftol=cfg.get("ftol", 1e-6))
+        else:
+            result = problem.optimize_slsqp(max_iterations=iters)
     elif driver == "projected":
         result = problem.optimize_projected(max_iterations=iters)
     else:
