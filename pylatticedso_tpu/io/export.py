@@ -18,7 +18,8 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 
 __all__ = ["write_vtu", "write_pvd", "export_simulation_vtu",
-           "save_json_to_grasshopper", "write_stl_cylinders", "write_msh_triangles",
+           "save_json_to_grasshopper", "write_stl_cylinders",
+           "write_stl_rough_wires", "write_msh_triangles",
            "export_homogenization_surface_msh"]
 
 
@@ -184,6 +185,88 @@ def write_stl_cylinders(path, lattice, n_sides: int = 12,
         norms = np.linalg.norm(normals, axis=1, keepdims=True)
         normals = normals / np.where(norms == 0, 1, norms)
         for k in range(n):
+            fh.write(normals[k].astype(np.float32).tobytes())
+            fh.write(tris[k].tobytes())
+            fh.write(b"\0\0")
+
+
+def _self_affine_height(n_axial: int, n_sides: int, eta: float, rms: float,
+                        n_cut: int, m_cut: int, rng) -> np.ndarray:
+    """Self-affine random-phase surface h[z, theta] (Pyrough wire model).
+
+    Spectral synthesis: Fourier amplitude |h_k| ~ |k|^-(1+eta) (eta the
+    Hurst-like exponent) band-limited to |k_z| <= n_cut, |k_theta| <= m_cut,
+    uniform random phases, normalized to the requested RMS.  Matches the
+    statistical model of Pyrough's ``make_wire`` (its C1/eta/N/M/RMS
+    parameters map directly); periodic in theta by construction.
+    """
+    kz = np.fft.fftfreq(n_axial) * n_axial
+    kt = np.fft.fftfreq(n_sides) * n_sides
+    KZ, KT = np.meshgrid(kz, kt, indexing="ij")
+    k2 = KZ * KZ + KT * KT
+    mask = (k2 > 0) & (np.abs(KZ) <= n_cut) & (np.abs(KT) <= m_cut)
+    with np.errstate(divide="ignore"):
+        amp = np.where(mask, np.power(k2, -(1.0 + eta) / 2.0,
+                                      where=mask, out=np.zeros_like(k2)), 0.0)
+    phase = rng.uniform(0.0, 2.0 * np.pi, amp.shape)
+    h = np.fft.ifft2(amp * np.exp(1j * phase)).real
+    std = h.std()
+    return h * (rms / std if std > 0 else 0.0)
+
+
+def write_stl_rough_wires(path, lattice, eta: float = 0.8, rms: float = 0.05,
+                          n_cut: int = 30, m_cut: int = 8,
+                          n_sides: int = 24, n_axial: int = 40,
+                          seed: int = 0, taper: float = 0.15,
+                          radius_scale: float = 1.0) -> None:
+    """Binary STL of every beam as a SELF-AFFINE rough wire — the
+    statistical surface model of the reference's Pyrough integration
+    (generate_mesh_lattice_rough, lattice.py:1966-2143; Pyrough
+    ``make_wire`` with exponent ``2(1+eta)``, cutoffs N/M, RMS scaling),
+    implemented dependency-free with random-phase spectral synthesis.
+
+    ``rms`` is the roughness RMS in units of the beam radius; ``taper``
+    smoothly suppresses the roughness over that fraction of the beam
+    length at each end so junctions stay watertight-ish.
+    """
+    rng = np.random.default_rng(seed)
+    tris = []
+    ang = 2 * np.pi * np.arange(n_sides) / n_sides
+    for (a, b), r in zip(lattice.edges, lattice.radius * radius_scale):
+        p1, p2 = lattice.nodes[a], lattice.nodes[b]
+        axis = p2 - p1
+        L = np.linalg.norm(axis)
+        if L == 0 or r <= 0:
+            continue
+        t = axis / L
+        ref = np.array([0.0, 0.0, 1.0]) if abs(t[2]) < 0.99 \
+            else np.array([1.0, 0.0, 0.0])
+        u = np.cross(ref, t); u /= np.linalg.norm(u)
+        v = np.cross(t, u)
+        ring = np.cos(ang)[:, None] * u + np.sin(ang)[:, None] * v  # [S,3]
+        h = _self_affine_height(n_axial + 1, n_sides, eta, rms * r,
+                                n_cut, m_cut, rng)                  # [Z,S]
+        z_hat = np.arange(n_axial + 1) / n_axial
+        w = np.clip(np.minimum(z_hat, 1.0 - z_hat) / max(taper, 1e-9),
+                    0.0, 1.0)
+        rr = r + h * w[:, None]                                     # [Z,S]
+        rings = [p1 + axis * z + rr[k][:, None] * ring
+                 for k, z in enumerate(z_hat)]
+        for lo, hi in zip(rings[:-1], rings[1:]):
+            for i in range(n_sides):
+                j = (i + 1) % n_sides
+                tris.append((lo[i], lo[j], hi[i]))
+                tris.append((hi[i], lo[j], hi[j]))
+    tris = np.asarray(tris, dtype=np.float32)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(b"\0" * 80)
+        fh.write(struct.pack("<I", len(tris)))
+        normals = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+        norms = np.linalg.norm(normals, axis=1, keepdims=True)
+        normals = normals / np.where(norms == 0, 1, norms)
+        for k in range(len(tris)):
             fh.write(normals[k].astype(np.float32).tobytes())
             fh.write(tris[k].tobytes())
             fh.write(b"\0\0")

@@ -252,3 +252,25 @@ def test_hybrid_subplot_and_live_plotter(tmp_path):
     assert len(pl.obj_hist) == 3
     pl.finalize(save_path=tmp_path / "conv.png")
     assert (tmp_path / "conv.png").exists()
+
+
+def test_rough_wire_stl(tmp_path):
+    """Self-affine rough-wire STL (Pyrough-model replacement)."""
+    import struct
+    import numpy as np
+    from pylatticedso_tpu import build_lattice
+    from pylatticedso_tpu.io.export import (_self_affine_height,
+                                            write_stl_rough_wires)
+    lat = build_lattice({
+        "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                     "number_of_cells": {"x": 1, "y": 1, "z": 1},
+                     "radii": [0.05], "geom_types": ["BCC"]}})
+    p = tmp_path / "rough.stl"
+    write_stl_rough_wires(p, lat, n_sides=12, n_axial=10, rms=0.08)
+    data = p.read_bytes()
+    ntri = struct.unpack("<I", data[80:84])[0]
+    assert len(data) == 84 + 50 * ntri and ntri == lat.num_edges * 12 * 10 * 2
+    # statistical model: normalized RMS and exact angular periodicity
+    h = _self_affine_height(128, 32, 0.8, 2.5, 30, 8,
+                            np.random.default_rng(1))
+    assert abs(h.std() - 2.5) < 1e-9
