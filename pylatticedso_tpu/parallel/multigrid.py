@@ -39,7 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["build_mg_hierarchy", "mg_preconditioner"]
+__all__ = ["build_mg_hierarchy", "mg_preconditioner", "mg_precond_state",
+           "mg_apply"]
 
 
 # ---------------------------------------------------------------- transfers
@@ -274,20 +275,14 @@ def _chebyshev(A: Callable, D: jnp.ndarray, b: jnp.ndarray,
 
 
 # ------------------------------------------------------------- V-cycle
-def mg_preconditioner(h: dict, radius_field: jnp.ndarray, nu: int = 2,
-                      coarse_degree: int = 24,
-                      smooth_frac: float = 0.25,
-                      power_iters: int = 10) -> Callable:
-    """Symmetric V(nu,nu)-cycle preconditioner M(r) for PCG.
-
-    Per-level radii and lmax estimates are derived from ``radius_field``
-    once per call (a handful of extra matvecs, amortized over the solve).
-    Wrap in ``stop_gradient`` by the caller if used inside a differentiated
-    region — a preconditioner never affects the fixed point.
-    """
+def mg_precond_state(h: dict, radius_field: jnp.ndarray,
+                     power_iters: int = 10) -> dict:
+    """Radius-derived V-cycle state: per-level radii, hoisted matvec
+    operands, Jacobi diagonals, and lmax estimates (a pytree of arrays,
+    so it can be computed in its own jit and passed across steps — a
+    descent loop whose radii move slowly can FREEZE it and skip the
+    per-solve power iterations and per-level operand rebuilds)."""
     levels: List[MGLevel] = h["levels"]
-    nL = len(levels)
-
     radii = [jnp.asarray(radius_field, levels[0].slat.dtype)]
     for rr in h["restrict_radius"]:
         radii.append(rr(radii[-1]))
@@ -299,8 +294,17 @@ def mg_preconditioner(h: dict, radius_field: jnp.ndarray, nu: int = 2,
         Af = lambda u, _l=lvl, _r=rad, _a=aux: _l.A_aux(u, _r, _a)
         lmaxs.append(_estimate_lmax(Af, D, D.shape, levels[0].slat.dtype,
                                     iters=power_iters))
-
     Ds = [lvl.D(rad) for lvl, rad in zip(levels, radii)]
+    return {"radii": radii, "auxs": auxs, "Ds": Ds, "lmaxs": lmaxs}
+
+
+def mg_apply(h: dict, state: dict, nu: int = 2, coarse_degree: int = 24,
+             smooth_frac: float = 0.25) -> Callable:
+    """V(nu,nu)-cycle application M(r) from a precomputed state."""
+    levels: List[MGLevel] = h["levels"]
+    nL = len(levels)
+    radii, auxs, Ds, lmaxs = (state["radii"], state["auxs"], state["Ds"],
+                              state["lmaxs"])
 
     def vcycle(level: int, b: jnp.ndarray) -> jnp.ndarray:
         lvl, rad, D, lmax = levels[level], radii[level], Ds[level], lmaxs[level]
@@ -319,3 +323,19 @@ def mg_preconditioner(h: dict, radius_field: jnp.ndarray, nu: int = 2,
         return vcycle(0, r)
 
     return M
+
+
+def mg_preconditioner(h: dict, radius_field: jnp.ndarray, nu: int = 2,
+                      coarse_degree: int = 24,
+                      smooth_frac: float = 0.25,
+                      power_iters: int = 10) -> Callable:
+    """Symmetric V(nu,nu)-cycle preconditioner M(r) for PCG.
+
+    Per-level radii and lmax estimates are derived from ``radius_field``
+    once per call (a handful of extra matvecs, amortized over the solve).
+    Wrap in ``stop_gradient`` by the caller if used inside a differentiated
+    region — a preconditioner never affects the fixed point.
+    """
+    state = mg_precond_state(h, radius_field, power_iters=power_iters)
+    return mg_apply(h, state, nu=nu, coarse_degree=coarse_degree,
+                    smooth_frac=smooth_frac)

@@ -416,10 +416,7 @@ def make_structured_compliance_step(slat: StructuredLattice,
     if objective is None:
         objective = lambda u, f_: jnp.sum(f_ * u)
 
-    def _solve(radius_field, free, f, u0):
-        dg = free * diag_fn(radius_field) + (1.0 - free)
-        dg = jnp.where(dg == 0, 1.0, dg)
-
+    def _solve(radius_field, free, f, u0, pstate=None):
         if hasattr(matvec, "prepare"):
             # hoist the radius -> r^2-field construction out of the CG loop
             aux = matvec.prepare(radius_field)
@@ -432,12 +429,22 @@ def make_structured_compliance_step(slat: StructuredLattice,
 
         b = free * (f - K(u_imp)) + (1.0 - free) * u_imp
         if mg_hier is not None:
-            from .multigrid import mg_preconditioner
-            # preconditioner never moves the fixed point: detach its radii
-            M = mg_preconditioner(mg_hier,
-                                  jax.lax.stop_gradient(radius_field),
-                                  **(mg_opts or {}))
+            from .multigrid import mg_apply, mg_precond_state
+            # preconditioner never moves the fixed point: detach its radii.
+            # ``pstate`` may carry a FROZEN earlier design's state (descent
+            # steps move radii slowly), skipping the per-solve lmax power
+            # iterations and per-level operand rebuilds.
+            opts = dict(mg_opts or {})
+            power = opts.pop("power_iters", 10)
+            if pstate is None:
+                pstate = mg_precond_state(
+                    mg_hier, jax.lax.stop_gradient(radius_field),
+                    power_iters=power)
+            M = mg_apply(mg_hier, pstate, **opts)
         else:
+            dg = free * diag_fn(jax.lax.stop_gradient(radius_field)) \
+                + (1.0 - free)
+            dg = jnp.where(dg == 0, 1.0, dg)
             M = lambda r_: r_ / dg
         u0 = jax.lax.stop_gradient(u0)
 
@@ -453,7 +460,12 @@ def make_structured_compliance_step(slat: StructuredLattice,
         u = _solve(radius_field, free, f, u0)
         return objective(u, f), u
 
+    def compliance_frozen(radius_field, free, f, u0, pstate):
+        u = _solve(radius_field, free, f, u0, pstate)
+        return objective(u, f), u
+
     vag = jax.jit(jax.value_and_grad(compliance, has_aux=True))
+    vag_frozen = jax.jit(jax.value_and_grad(compliance_frozen, has_aux=True))
 
     # self-adjoint fast path: for pure compliance with zero imposed
     # displacements, the adjoint equals the primal solution (A symmetric,
@@ -484,16 +496,29 @@ def make_structured_compliance_step(slat: StructuredLattice,
 
     sa_jit = jax.jit(_sa_step) if selfadjoint else None
 
-    def step(radius_field, u0=None):
+    def step(radius_field, u0=None, precond_state=None):
         """Returns (compliance, grad, u); pass the previous step's u as
         ``u0`` to warm-start the solves (fewer CG iterations in a descent
-        loop; exactness unaffected)."""
+        loop; exactness unaffected).  ``precond_state`` (from
+        ``step.precond_state(r)``) freezes the multigrid preconditioner
+        state across steps — valid for slowly moving radii, skipping the
+        per-solve lmax power iterations and operand rebuilds; the solve
+        fixed point is unaffected (M only changes convergence)."""
         if u0 is None:
             u0 = jnp.zeros_like(f)
+        if precond_state is not None and mg_hier is not None:
+            (c, u), g = vag_frozen(radius_field, free, f, u0, precond_state)
+            return c, g, u
         if sa_jit is not None:
             return sa_jit(radius_field, u0)
         (c, u), g = vag(radius_field, free, f, u0)
         return c, g, u
+
+    if mg_hier is not None:
+        from .multigrid import mg_precond_state as _mps
+        _power = (mg_opts or {}).get("power_iters", 10)
+        step.precond_state = jax.jit(
+            lambda r: _mps(mg_hier, r, power_iters=_power))
 
     step._jitted = vag
     step._operands = (free, f)

@@ -92,3 +92,29 @@ def test_mg_pcg_beats_jacobi_iterations():
     err = jnp.linalg.norm((res_m.x - res_j.x).ravel()) \
         / jnp.linalg.norm(res_j.x.ravel())
     assert float(err) < 1e-6
+
+
+def test_frozen_precond_state_parity():
+    """A frozen (even stale) MG preconditioner state must not move the
+    solve fixed point."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pylatticedso_tpu.parallel.structured import (
+        StructuredLattice, make_structured_compliance_step)
+    n = 3
+    sl = StructuredLattice("BCC", (n, n, n), (1., 1., 1.), 1013.0, 0.3,
+                           dtype=jnp.float64)
+    fixed = sl.select_nodes(lambda x, y, z: z == 0.0)
+    top = sl.select_nodes(lambda x, y, z: z == float(n))
+    free = sl.node_valid & ~fixed
+    f = np.zeros((sl.nc, 6) + sl.grid)
+    for c in range(sl.nc):
+        f[c, 2][top[c]] = -1.0 / int(top.sum())
+    step = make_structured_compliance_step(sl, free, f, tol=1e-11,
+                                           maxiter=3000, precond="mg")
+    r0 = jnp.asarray(np.random.default_rng(0).uniform(0.03, 0.08, (n, n, n)))
+    c1, g1, _ = step(r0)
+    ps = step.precond_state(r0 * 0.9)          # deliberately stale
+    c2, g2, _ = step(r0, None, ps)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-6)
