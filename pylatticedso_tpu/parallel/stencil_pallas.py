@@ -111,16 +111,27 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
         raise ValueError("pallas stencil matvec is float32-only")
 
     def kernel(up, uc, un, rp, rc, rn, out_ref):
+        cache = {}
+
         def shifted(prev, cur, nxt, row0, nrows, off):
             """(nrows, T) window at static column offset ``off`` of the
-            logical [.., 3T] neighborhood, without materializing it."""
+            logical [.., 3T] neighborhood, without materializing it.
+            Memoized: many edge-sides share the same (class, offset) read
+            (e.g. both endpoints of parallel template edges), and the
+            unaligned column shifts are the kernel's dominant VPU cost."""
+            key = (id(cur), row0, nrows, off)
+            if key in cache:
+                return cache[key]
             rs = slice(row0, row0 + nrows)
             if off == 0:
-                return cur[rs, :]
-            if off > 0:
-                return jnp.concatenate([cur[rs, off:], nxt[rs, :off]], axis=1)
-            return jnp.concatenate([prev[rs, T + off:], cur[rs, :T + off]],
-                                   axis=1)
+                out = cur[rs, :]
+            elif off > 0:
+                out = jnp.concatenate([cur[rs, off:], nxt[rs, :off]], axis=1)
+            else:
+                out = jnp.concatenate([prev[rs, T + off:], cur[rs, :T + off]],
+                                      axis=1)
+            cache[key] = out
+            return out
 
         acc = [jnp.zeros((6, T), jnp.float32) for _ in range(nc)]
         for r in recs:
