@@ -10,6 +10,17 @@ the domain-decomposition path, homogenizes unit cells with periodic DOF
 folding, and differentiates compliance through the implicit solve.
 """
 
+import os as _os
+
+if not _os.environ.get("PLDSO_NO_COMPILE_CACHE"):
+    # persistent XLA compilation cache: remote TPU compiles cost 20-340 s
+    # cold; cached reloads take seconds (see utils/cache.py)
+    from .utils.cache import enable_compilation_cache as _ecc
+    try:
+        _ecc()
+    except Exception:  # pragma: no cover - e.g. read-only home dir
+        pass
+
 from .catalog import get_beam_structure, available_geometries, register_geometry
 from .config import LatticeConfig, load_config
 from .materials import MatProperties, available_materials, register_material

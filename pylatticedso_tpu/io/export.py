@@ -176,18 +176,8 @@ def write_stl_cylinders(path, lattice, n_sides: int = 12,
                 j = (i + 1) % n_sides
                 tris.append((lo[i], lo[j], hi[i]))
                 tris.append((hi[i], lo[j], hi[j]))
-    tris = np.asarray(tris, dtype=np.float32)
-    n = len(tris)
-    with open(path, "wb") as fh:
-        fh.write(b"\0" * 80)
-        fh.write(struct.pack("<I", n))
-        normals = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
-        norms = np.linalg.norm(normals, axis=1, keepdims=True)
-        normals = normals / np.where(norms == 0, 1, norms)
-        for k in range(n):
-            fh.write(normals[k].astype(np.float32).tobytes())
-            fh.write(tris[k].tobytes())
-            fh.write(b"\0\0")
+        _append_end_caps(tris, p1, p2, rings[0], rings[-1])
+    _write_stl_binary(path, tris)
 
 
 def _self_affine_height(n_axial: int, n_sides: int, eta: float, rms: float,
@@ -257,7 +247,22 @@ def write_stl_rough_wires(path, lattice, eta: float = 0.8, rms: float = 0.05,
                 j = (i + 1) % n_sides
                 tris.append((lo[i], lo[j], hi[i]))
                 tris.append((hi[i], lo[j], hi[j]))
-    tris = np.asarray(tris, dtype=np.float32)
+        _append_end_caps(tris, p1, p2, rings[0], rings[-1])
+    _write_stl_binary(path, tris)
+
+
+def _append_end_caps(tris, p1, p2, ring_lo, ring_hi) -> None:
+    """Triangle-fan end caps closing a tube so the STL is watertight."""
+    n = len(ring_lo)
+    for i in range(n):
+        j = (i + 1) % n
+        tris.append((p1, ring_lo[j], ring_lo[i]))
+        tris.append((p2, ring_hi[i], ring_hi[j]))
+
+
+def _write_stl_binary(path, tris) -> None:
+    """Binary STL from a list/array of (3, 3) facets (empty-safe)."""
+    tris = np.asarray(tris, dtype=np.float32).reshape(-1, 3, 3)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as fh:

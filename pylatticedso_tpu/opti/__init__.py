@@ -4,6 +4,35 @@ from .optimizer import OptimizationProblem, OptimizationResult
 from .parameterization import Parameterization, make_parameterization
 
 
+def _density_violation(result, constraints) -> float:
+    """Constraint violation of an OptimizationResult's density (0 when
+    feasible or unconstrained)."""
+    import math
+    spec = constraints.get("relative_density")
+    if spec is None or not math.isfinite(result.density):
+        return 0.0
+    d, target = result.density - spec["value"], 0.0
+    mode = spec.get("mode", "upper")
+    tol = spec.get("tolerance", 0.0)
+    if mode == "upper":
+        return max(d, target)
+    if mode == "lower":
+        return max(-d, target)
+    if mode == "band":
+        return max(abs(d) - tol, target)
+    return abs(d)  # eq
+
+
+def _better_result(r1, r2, constraints, feas_tol: float = 1e-6):
+    """Pick the better of two OptimizationResults: feasible beats
+    infeasible; among equals, lower objective wins (the internal objective
+    is always minimized — max objectives are negated upstream)."""
+    v1, v2 = (_density_violation(r, constraints) for r in (r1, r2))
+    k1 = (v1 > feas_tol, v1 if v1 > feas_tol else r1.objective)
+    k2 = (v2 > feas_tol, v2 if v2 > feas_tol else r2.objective)
+    return r1 if k1 <= k2 else r2
+
+
 def optimize_lattice(lattice, max_iterations=None, driver: str = "slsqp",
                      **kwargs):
     """One-call design optimization from the config's
@@ -53,13 +82,18 @@ def optimize_lattice(lattice, max_iterations=None, driver: str = "slsqp",
         else cfg.get("max_iterations", 20)
     if driver == "slsqp":
         if robust_drive:
-            result = problem.optimize_slsqp(max_iterations=iters,
-                                            ftol=cfg.get("ftol", 1e-6),
-                                            feasible_start=True,
-                                            move_limit=0.1)
-            problem.param.x0 = result.theta
-            result = problem.optimize_slsqp(max_iterations=iters,
-                                            ftol=cfg.get("ftol", 1e-6))
+            result1 = problem.optimize_slsqp(max_iterations=iters,
+                                             ftol=cfg.get("ftol", 1e-6),
+                                             feasible_start=True,
+                                             move_limit=0.1)
+            problem.param.x0 = result1.theta
+            result2 = problem.optimize_slsqp(max_iterations=iters,
+                                             ftol=cfg.get("ftol", 1e-6))
+            # the free polish can regress (the very scipy>=1.16 pathology
+            # the move-limited phase guards against): keep the better of
+            # the two phases, preferring feasible points
+            result = _better_result(result1, result2,
+                                    problem.constraints or {})
         else:
             result = problem.optimize_slsqp(max_iterations=iters)
     elif driver == "projected":

@@ -260,7 +260,21 @@ class OptimizationProblem:
             return x0
         from scipy.optimize import brentq
         lo, hi = (-2.0, 0.0) if r0 > 0 else (0.0, 2.0)
-        s = brentq(rho, lo, hi, xtol=1e-9)
+        # clipping to the parameter box can make rho(s) plateau before it
+        # crosses the target; brentq then has no bracket.  Fall back to the
+        # nearest-bound projection (the best feasibility achievable by a
+        # uniform shift) instead of raising.
+        r_far = rho(lo if r0 > 0 else hi)
+        if np.sign(r_far) == np.sign(r0):
+            import warnings
+            warnings.warn(
+                "feasible_x0: the density target is unreachable by a "
+                "uniform parameter shift within bounds; starting from the "
+                f"nearest-bound projection (residual {r_far:.3e}).",
+                RuntimeWarning, stacklevel=2)
+            s = lo if r0 > 0 else hi
+        else:
+            s = brentq(rho, lo, hi, xtol=1e-9)
         return np.clip(x0 + s, self.param.lower, self.param.upper)
 
     def optimize_slsqp(self, max_iterations: int = 20, ftol: float = 1e-9,

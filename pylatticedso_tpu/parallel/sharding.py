@@ -422,12 +422,24 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
         column-layout fields."""
         u = jnp.zeros((6, n_nodes), dtype=shl.dtype) if u0 is None else u0
         iters = 0
+        converged, res = False, None
         for _ in range(max_chunks):
-            u, converged, _res = chunk_jit(radius_padded, u, *operands, chunk)
+            u, converged, res = chunk_jit(radius_padded, u, *operands, chunk)
             jax.block_until_ready(u)
             iters += chunk
-            if bool(converged):
+            converged = bool(converged)
+            if converged:
                 break
+        if not converged:
+            import warnings
+            warnings.warn(
+                f"step.chunked: CG did not converge within "
+                f"{max_chunks * chunk} iterations (residual "
+                f"{float(res):.3e}); the returned gradient is computed "
+                f"from the unconverged displacement field.",
+                RuntimeWarning, stacklevel=2)
+        step_chunked.last_converged = converged
+        step_chunked.last_residual = float(res) if res is not None else None
         fT = jnp.transpose(operands[-1].reshape(n_nodes, 6))
         c = jnp.sum(fT * u)
         g = grad_jit(radius_padded, u, *operands)

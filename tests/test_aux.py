@@ -55,7 +55,8 @@ def test_stl_cylinders(tmp_path):
     write_stl_cylinders(p, lat, n_sides=6)
     raw = p.read_bytes()
     n_tri = struct.unpack("<I", raw[80:84])[0]
-    assert n_tri == lat.num_edges * 6 * 2
+    # 2 wall triangles + 2 end-cap triangles per side (watertight tubes)
+    assert n_tri == lat.num_edges * 6 * 4
     tris = load_stl(p)
     assert tris.shape == (n_tri, 3, 3)
 
@@ -269,7 +270,9 @@ def test_rough_wire_stl(tmp_path):
     write_stl_rough_wires(p, lat, n_sides=12, n_axial=10, rms=0.08)
     data = p.read_bytes()
     ntri = struct.unpack("<I", data[80:84])[0]
-    assert len(data) == 84 + 50 * ntri and ntri == lat.num_edges * 12 * 10 * 2
+    # wall quads + the 2*n_sides end-cap triangles per wire (watertight)
+    assert len(data) == 84 + 50 * ntri
+    assert ntri == lat.num_edges * (12 * 10 * 2 + 2 * 12)
     # statistical model: normalized RMS and exact angular periodicity
     h = _self_affine_height(128, 32, 0.8, 2.5, 30, 8,
                             np.random.default_rng(1))
