@@ -61,6 +61,9 @@ class DDMSystem:
         self.n_nodes = lattice.num_nodes
         self.nb = nb
         self.m = 6 * nb
+        # host copies at source precision (f64): the refined TPU solve
+        # rebuilds a high-precision operator from these for its residuals
+        self.S_np = [np.asarray(S) for S in S_groups]
         self.S = [jnp.asarray(S, dtype=dtype) for S in S_groups]
         self.cell_group = np.asarray(cell_group)
         self.cells_of_group = [np.nonzero(self.cell_group == g)[0]
@@ -77,17 +80,34 @@ class DDMSystem:
         self.f_applied = jnp.asarray(bc.f_applied * interface[:, None], dtype=fdt)
 
     # ------------------------------------------------------------------
-    def matvec(self, u: jnp.ndarray) -> jnp.ndarray:
+    def matvec(self, u: jnp.ndarray, S_list=None) -> jnp.ndarray:
         """Assembled-Schur action K_interface @ u on [N,6] fields."""
+        S_list = self.S if S_list is None else S_list
         Ub = u[self.cell_bnodes].reshape(-1, self.m)        # [C, m]
         parts = jnp.zeros_like(Ub)
         for g, cells in enumerate(self.cells_of_group):
             cg = jnp.asarray(cells)
             # [C_g, m] @ [m, m] on the MXU (S symmetric)
-            parts = parts.at[cg].set(Ub[cg] @ self.S[g])
+            parts = parts.at[cg].set(Ub[cg] @ S_list[g])
         contrib = parts.reshape(-1, 6)                      # [C*nb, 6]
         idx = self.cell_bnodes.reshape(-1)
         return jax.ops.segment_sum(contrib, idx, num_segments=self.n_nodes)
+
+    def hi_operator(self, dtype=jnp.float64) -> Tuple[Callable, jnp.ndarray]:
+        """(A_hi, b_hi): the masked interface operator and rhs rebuilt at
+        high precision from the source (f64) Schur groups — the residual
+        oracle for the refined TPU solve (fem.solve.linear_solve_refined)."""
+        S_hi = [jnp.asarray(s, dtype=dtype) for s in self.S_np]
+        free = self.free.astype(dtype)
+        u_imp = self.u_imposed.astype(dtype)
+        f_app = self.f_applied.astype(dtype)
+
+        def A_hi(u):
+            return free * self.matvec(free * u, S_hi) + (1.0 - free) * u
+
+        b_hi = free * (f_app - self.matvec(u_imp, S_hi)) \
+            + (1.0 - free) * u_imp
+        return A_hi, b_hi
 
     def diagonal(self) -> jnp.ndarray:
         """diag of the assembled interface operator, [N,6]."""
@@ -165,6 +185,23 @@ def _schur_groups(lattice: Lattice, material: MatProperties,
     differently get their own condensation, where the reference reuses one
     representative per (geom, radii) and incurs an interface error.
     """
+    # Condense at the highest available precision regardless of the
+    # requested device dtype: the refined interface solve's residual oracle
+    # (DDMSystem.hi_operator) is only as accurate as the source S, so an
+    # f32-CONDENSED Schur caps attainable accuracy at ~kappa*eps_f32 no
+    # matter how many refinement passes run.  On devices without native f64
+    # (TPU) the condensation runs on the host CPU backend.
+    import contextlib
+    compute_dtype = jnp.float64 if jax.config.x64_enabled else dtype
+
+    def _condense_ctx():
+        if compute_dtype == jnp.float64 and jax.default_backend() != "cpu":
+            try:
+                return jax.default_device(jax.devices("cpu")[0])
+            except RuntimeError:
+                pass
+        return contextlib.nullcontext()
+
     l_zones = None
     if penalization:
         l_zones = compute_l_zones(lattice.nodes, lattice.edges, lattice.radius,
@@ -199,9 +236,11 @@ def _schur_groups(lattice: Lattice, material: MatProperties,
         if schur_provider is not None:
             S = schur_provider(lattice.cell_radii[rep])
         else:
-            S = schur_complement(disc, lattice.cell_radii[rep],
-                                 material.young_modulus, material.poisson_ratio,
-                                 dtype=dtype)
+            with _condense_ctx():
+                S = np.asarray(schur_complement(
+                    disc, lattice.cell_radii[rep],
+                    material.young_modulus, material.poisson_ratio,
+                    dtype=compute_dtype))
         S_list.append(S)
     # per-cell boundary nodes: recompute ordering for every cell (cheap)
     nb = int(S_list[0].shape[0]) // 6
@@ -261,9 +300,17 @@ def solve_ddm(lattice: Lattice, material: Optional[MatProperties] = None,
               bc: Optional[BCArrays] = None, tol: float = 1e-10,
               maxiter: Optional[int] = None,
               preconditioner: Optional[str] = None,
-              system: Optional[DDMSystem] = None, **kwargs) -> DDMResult:
+              system: Optional[DDMSystem] = None,
+              refined: Optional[bool] = None, **kwargs) -> DDMResult:
     """Solve interface equilibrium with PCG (solve_DDM parity,
-    lattice_sim.py:1111-1176)."""
+    lattice_sim.py:1111-1176).
+
+    ``refined``: mixed-precision iterative refinement — f32 CG iterations
+    with emulated-f64 residual recomputation — so tolerances below the f32
+    rounding floor are reachable on TPU (no native f64).  Auto: ON when the
+    assembled system is f32, the requested ``tol`` is below the floor, and
+    x64 is enabled.
+    """
     bc = bc or apply_boundary_conditions(lattice)
     sys_ = system or build_ddm_system(lattice, material, bc, **kwargs)
     ddm_cfg = ((lattice.config.simulation or {}).get("DDM", {}) or {})
@@ -277,13 +324,28 @@ def solve_ddm(lattice: Lattice, material: Optional[MatProperties] = None,
     A = sys_.masked()
     b = sys_.rhs()
     M = sys_.preconditioner(preconditioner)
-    out = pcg(A, b, M=M, maxiter=maxiter, tol=tol)
-    u = sys_.free * out.x + (1.0 - sys_.free) * sys_.u_imposed
-    Ku = sys_.matvec(u)
-    fixed = (1.0 - sys_.free) * jnp.asarray(
-        sys_.interface_nodes[:, None], dtype=u.dtype)
-    reaction = fixed * (Ku - sys_.f_applied)
-    f_total = sys_.f_applied + reaction
+    if refined is None:
+        refined = (sys_.S[0].dtype == jnp.float32 and tol < 3e-7
+                   and bool(jax.config.x64_enabled))
+    S_post, dt_post = sys_.S, sys_.S[0].dtype
+    if refined:
+        from ..fem.solve import refined_solve
+        A_hi, b_hi = sys_.hi_operator()
+        out = refined_solve(A, A_hi, b_hi, M=M, maxiter=maxiter, tol=tol,
+                            inner_tol=max(tol, 1e-6))
+        # post-process (reactions, compliance) at the refined precision
+        dt_post = out.x.dtype
+        S_post = [jnp.asarray(s, dtype=dt_post) for s in sys_.S_np]
+    else:
+        out = pcg(A, b, M=M, maxiter=maxiter, tol=tol)
+    free = sys_.free.astype(dt_post)
+    u = free * out.x + (1.0 - free) * sys_.u_imposed.astype(dt_post)
+    Ku = sys_.matvec(u, S_post)
+    fixed = (1.0 - free) * jnp.asarray(
+        sys_.interface_nodes[:, None], dtype=dt_post)
+    f_applied = sys_.f_applied.astype(dt_post)
+    reaction = fixed * (Ku - f_applied)
+    f_total = f_applied + reaction
     compliance = jnp.sum(f_total * u)
     return DDMResult(
         u=np.asarray(u), reaction=np.asarray(reaction),

@@ -21,7 +21,8 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pcg", "linear_solve", "PCGResult"]
+__all__ = ["pcg", "linear_solve", "linear_solve_refined", "refined_solve",
+           "PCGResult"]
 
 
 class PCGResult(NamedTuple):
@@ -132,6 +133,80 @@ def pcg_refined(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
     return PCGResult(x=x, iterations=iters,
                      residual_norm=res.astype(b.dtype),
                      converged=res <= tol * nb)
+
+
+def linear_solve_refined(A_lo: Callable, b: jnp.ndarray,
+                         A_hi: Callable, M: Optional[Callable] = None,
+                         maxiter: int = 2000, tol: float = 1e-9,
+                         inner_tol: float = 1e-6,
+                         max_refinements: int = 8,
+                         lo_dtype=jnp.float32) -> jnp.ndarray:
+    """Differentiable refined SPD solve for f32 devices (TPU).
+
+    The forward/adjoint CG iterations run in the fast low precision
+    (``A_lo``, ``lo_dtype``); true residuals are recomputed with ``A_hi``
+    (XLA-emulated f64 on TPU — slow per op but evaluated once per
+    refinement pass, not per CG iteration), and correction solves repeat
+    until ``|b - A x| <= tol |b|`` in the HIGH precision or
+    ``max_refinements`` passes.  This is how the DDM interface solve
+    reaches the reference's tol-1e-9 PETSc-f64 semantics
+    (lattice_sim.py:1111-1176) on hardware without native f64: a plain f32
+    CG stalls at the ~kappa*eps_f32 rounding floor.
+
+    ``b`` may be f64; gradients flow through ``A_hi``'s operands and ``b``
+    via ``lax.custom_linear_solve`` (one emulated-f64 matvec per VJP).
+    The returned solution is in ``b``'s (high) precision.
+    """
+    def solve_fn(mv_hi, rhs):
+        return refined_solve(A_lo, mv_hi, rhs, M=M, maxiter=maxiter, tol=tol,
+                             inner_tol=inner_tol,
+                             max_refinements=max_refinements,
+                             lo_dtype=lo_dtype).x
+
+    return jax.lax.custom_linear_solve(A_hi, b, solve_fn, symmetric=True)
+
+
+def refined_solve(A_lo: Callable, A_hi: Callable, b_hi: jnp.ndarray,
+                  M: Optional[Callable] = None, maxiter: int = 2000,
+                  tol: float = 1e-9, inner_tol: float = 1e-6,
+                  max_refinements: int = 8,
+                  lo_dtype=jnp.float32) -> PCGResult:
+    """Adaptive iterative-refinement solve (non-differentiable core).
+
+    Low-precision inner CG + high-precision residual passes until
+    ``|b - A x| <= tol |b|`` in the HIGH precision or ``max_refinements``
+    passes.  Returns a PCGResult whose ``x`` is in ``b_hi``'s dtype and
+    whose ``iterations`` counts total inner CG iterations.
+    """
+    if M is None:
+        M = lambda r: r
+    hi_dt = b_hi.dtype
+    nb = _norm(b_hi)
+    threshold = tol * jnp.maximum(nb, jnp.finfo(hi_dt).tiny)
+
+    def inner(r_hi):
+        out = pcg(A_lo, r_hi.astype(lo_dtype), M=M, maxiter=maxiter,
+                  tol=inner_tol)
+        return out.x.astype(hi_dt), out.iterations
+
+    x0, it0 = inner(b_hi)
+    res0 = _norm(b_hi - A_hi(x0))
+
+    def cond(st):
+        _, k, res, _ = st
+        return jnp.logical_and(k < max_refinements, res > threshold)
+
+    def body(st):
+        x, k, _, it = st
+        r = b_hi - A_hi(x)
+        dx, dit = inner(r)
+        x = x + dx
+        return (x, k + 1, _norm(b_hi - A_hi(x)), it + dit)
+
+    x, _, res, iters = jax.lax.while_loop(
+        cond, body, (x0, jnp.asarray(0), res0, it0))
+    return PCGResult(x=x, iterations=iters, residual_norm=res,
+                     converged=res <= threshold)
 
 
 def linear_solve(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..design.lattice import Lattice
-from ..fem.solve import linear_solve
+from ..fem.solve import linear_solve, linear_solve_refined
 from ..ddm.schur import (discretize_cell_chained, schur_batch_chained,
                          schur_penalized_batch)
 from ..ddm.solver import build_ddm_system
@@ -106,8 +106,19 @@ class DDMOptimizationProblem(OptimizationProblem):
     def __init__(self, lattice: Lattice, surrogate: Optional[SchurSurrogate] = None,
                  tol_greedy: float = 1e-6, grid_step: float = 0.01,
                  share_weights: bool = True, penalization: bool = False,
-                 spd_shift: float = 1e-6, **kwargs):
+                 spd_shift: float = 1e-6,
+                 refined: Optional[bool] = None, **kwargs):
         super().__init__(lattice, **kwargs)
+        #: mixed-precision interface solve: f32 CG iterations + emulated-f64
+        #: residual refinement (fem.solve.linear_solve_refined).  This is
+        #: how the penalized tol-1e-9 interface CG — the reference's
+        #: PETSc-f64 semantics — runs on TPUs, which have no native f64 (a
+        #: plain f32 CG stalls at the kappa*eps_f32 floor and SLSQP sees
+        #: noise).  Auto: ON for non-CPU backends when x64 is enabled.
+        if refined is None:
+            refined = bool(jax.config.x64_enabled) \
+                and jax.default_backend() != "cpu"
+        self.refined = refined
         #: relative diagonal shift added to every reconstructed Schur block.
         #: RBF interpolation error (~1e-3 relative) can push a cell's
         #: near-null rigid-body modes slightly NEGATIVE at the sample-grid
@@ -158,14 +169,19 @@ class DDMOptimizationProblem(OptimizationProblem):
         bn = self._cell_bnodes
         N, m = self._n_nodes, self._m
 
-        def K(u):
-            Ub = u[bn].reshape(-1, m)
-            R = jnp.einsum("cij,cj->ci", S, Ub)
-            return jax.ops.segment_sum(R.reshape(-1, 6), bn.reshape(-1),
-                                       num_segments=N)
+        def make_K(S_):
+            def K(u):
+                Ub = u[bn].reshape(-1, m)
+                R = jnp.einsum("cij,cj->ci", S_, Ub)
+                return jax.ops.segment_sum(R.reshape(-1, 6), bn.reshape(-1),
+                                           num_segments=N)
+            return K
 
-        def A(u):
-            return free * K(free * u) + (1.0 - free) * u
+        def make_A(K_, free_):
+            return lambda u: free_ * K_(free_ * u) + (1.0 - free_) * u
+
+        K = make_K(S)
+        A = make_A(K, free)
 
         # node-diagonal Jacobi from the assembled S blocks
         diag_blocks = jnp.einsum("cii->ci", S).reshape(-1, self._nb, 6)
@@ -175,14 +191,29 @@ class DDMOptimizationProblem(OptimizationProblem):
         diag = jnp.where(diag == 0, 1.0, diag)
 
         b = free * (f - K(u_imp)) + (1.0 - free) * u_imp
-        # periodic restart (reference CG guard, conjugate_gradient_solver.py):
-        # surrogate interpolation noise can make the interface operator
-        # momentarily indefinite on SLSQP line-search trials; restarting
-        # bounds the drift.  The reference also clamps alpha at 0.1, but
-        # under OUR Jacobi scaling natural CG steps are O(1) — the clamp
-        # stalls convergence entirely (measured), so it stays off.
-        u = linear_solve(A, b, M=lambda r: r / diag,
-                         maxiter=self.cg_maxiter, tol=self.cg_tol,
-                         restart_every=1000)
+        if self.refined and S.dtype == jnp.float64:
+            # TPU path: f32 CG iterations, emulated-f64 residual refinement
+            # (see linear_solve_refined).  Gradients flow through the f64
+            # operator via custom_linear_solve; the f32 copies live only
+            # inside the non-differentiated solve_fn.
+            f32 = jnp.float32
+            S32, free32 = S.astype(f32), free.astype(f32)
+            A32 = make_A(make_K(S32), free32)
+            d32 = diag.astype(f32)
+            u = linear_solve_refined(
+                A32, b, A_hi=A, M=lambda r: r / d32,
+                maxiter=self.cg_maxiter, tol=self.cg_tol,
+                inner_tol=max(self.cg_tol, 1e-6))
+        else:
+            # periodic restart (reference CG guard,
+            # conjugate_gradient_solver.py): surrogate interpolation noise
+            # can make the interface operator momentarily indefinite on
+            # SLSQP line-search trials; restarting bounds the drift.  The
+            # reference also clamps alpha at 0.1, but under OUR Jacobi
+            # scaling natural CG steps are O(1) — the clamp stalls
+            # convergence entirely (measured), so it stays off.
+            u = linear_solve(A, b, M=lambda r: r / diag,
+                             maxiter=self.cg_maxiter, tol=self.cg_tol,
+                             restart_every=1000)
         u = free * u + (1.0 - free) * u_imp
         return self._objective_u(u)

@@ -79,3 +79,20 @@ def test_ddm_solve_matches_exact_schur(ddm_problem):
     lat2.cell_radii[:] = 0.06
     exact2 = solve_ddm(lat2, penalization=False, target_h=0.3, tol=1e-11)
     np.testing.assert_allclose(v_on, exact2.compliance, rtol=1e-6)
+
+
+def test_ddm_refined_matches_plain_objective_and_gradient(ddm_problem):
+    """The refined interface solve (f32 inner CG + f64 residual refinement,
+    the TPU route) reproduces the plain-f64 objective and its implicit-diff
+    gradient — forced ON here even on CPU to exercise the code path."""
+    prob = ddm_problem
+    prob_r = DDMOptimizationProblem(
+        prob.lattice, surrogate=prob._surrogate,
+        opt_params={"type": "unit_cell"}, constraints={}, cg_tol=1e-11,
+        cg_maxiter=2000, min_radius=0.02, spd_shift=0.0, refined=True)
+    assert prob_r.refined
+    x0 = prob.param.x0
+    v, vr = prob.objective(x0), prob_r.objective(x0)
+    np.testing.assert_allclose(vr, v, rtol=1e-9)
+    g, gr = prob.gradient(x0), prob_r.gradient(x0)
+    np.testing.assert_allclose(gr, g, rtol=1e-6)

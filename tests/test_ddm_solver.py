@@ -89,3 +89,22 @@ def test_ddm_groups_by_radius():
     iface = sys_.interface_nodes
     rel = np.linalg.norm(res.u[iface] - fem.u[iface]) / np.linalg.norm(fem.u[iface])
     assert rel < 1e-8
+
+
+def test_refined_f32_ddm_reaches_f64_accuracy():
+    """An f32-assembled interface system + refined solve (auto-enabled at
+    tol below the f32 floor) matches the f64 DDM solution — the TPU route
+    to the reference's PETSc-f64 tol-1e-9 semantics (lattice_sim.py:1111)."""
+    import jax.numpy as jnp
+    lat = make_lattice(n=(2, 2, 1), force=True)
+    r64 = solve_ddm(lat, tol=1e-12)
+    sys32 = build_ddm_system(lat, dtype=jnp.float32)
+    assert sys32.S[0].dtype == jnp.float32
+    r32 = solve_ddm(lat, system=sys32, tol=1e-10)      # auto refined=True
+    rel = np.linalg.norm(r32.u - r64.u) / np.linalg.norm(r64.u)
+    assert rel < 1e-8, f"refined f32 DDM vs f64 rel err {rel:.2e}"
+    np.testing.assert_allclose(r32.compliance, r64.compliance, rtol=5e-8)
+    # and WITHOUT refinement the same f32 system cannot get there
+    plain = solve_ddm(lat, system=sys32, tol=1e-10, refined=False)
+    rel_plain = np.linalg.norm(plain.u - r64.u) / np.linalg.norm(r64.u)
+    assert rel_plain > rel * 10

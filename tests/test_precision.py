@@ -51,3 +51,46 @@ def test_residual_history_tracking():
     assert np.all(h[:k] >= 0) and np.all(h[k:] == -1)
     # overall decreasing trend: final residual far below the first
     assert h[k - 1] < h[0] * 1e-8
+
+
+def test_refined_solve_reaches_hi_precision_tol():
+    """Adaptive refinement (f32 inner CG + f64 residual passes) converges to
+    a tol far below the f32 floor — the DDM interface solve's TPU strategy."""
+    from pylatticedso_tpu.fem.solve import refined_solve
+
+    A64, x_true, b64 = spd_system()
+    A32 = jnp.asarray(A64.astype(np.float32))
+    A64j = jnp.asarray(A64)
+    out = refined_solve(lambda x: A32 @ x, lambda x: A64j @ x,
+                        jnp.asarray(b64), maxiter=3000, tol=1e-11,
+                        inner_tol=1e-6)
+    assert out.x.dtype == jnp.float64
+    assert bool(out.converged)
+    err = np.linalg.norm(np.asarray(out.x) - x_true) / np.linalg.norm(x_true)
+    assert err < 1e-9
+
+
+def test_linear_solve_refined_gradient_matches_analytic():
+    """grad through the refined differentiable solve == the f64 analytic
+    adjoint formula (custom_linear_solve over the hi-precision operator)."""
+    from pylatticedso_tpu.fem.solve import linear_solve_refined
+
+    A64, _, b64 = spd_system(n=120, cond=1e3, seed=3)
+    A64j = jnp.asarray(A64)
+    A32 = jnp.asarray(A64.astype(np.float32))
+    theta0 = 0.7
+
+    def f(theta):
+        A_hi = lambda x: A64j @ x + theta * x
+        A_lo = lambda x: A32 @ x + jnp.float32(theta0) * x  # frozen lo copy
+        x = linear_solve_refined(A_lo, jnp.asarray(b64), A_hi,
+                                 maxiter=2000, tol=1e-12, inner_tol=1e-6)
+        return jnp.sum(x)
+
+    g = jax.grad(f)(theta0)
+    # analytic: d/dtheta 1^T (A + theta I)^-1 b = -1^T A^-1 A^-1 b  (at theta)
+    Ath = A64 + theta0 * np.eye(A64.shape[0])
+    x = np.linalg.solve(Ath, b64)
+    lam = np.linalg.solve(Ath, np.ones_like(b64))
+    expected = -lam @ x
+    np.testing.assert_allclose(float(g), expected, rtol=1e-8)
