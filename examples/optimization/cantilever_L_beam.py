@@ -22,16 +22,21 @@ import sys
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
 
-# the DDM surrogate chain is a host-sized problem (27 cells, ~2k interface
-# DOFs) whose penalized Schur blocks are too ill-conditioned for f32: the
-# tol-1e-9 interface CG needs f64 (on the f32 TPU it stalls at the roundoff
-# floor and SLSQP sees noise).  Run it on CPU in x64 like the reference.
+# The penalized tol-1e-9 interface CG needs f64 SEMANTICS (a plain f32 CG
+# stalls at the roundoff floor and SLSQP sees noise).  On CPU that is
+# native x64, like the reference's PETSc.  On TPU the online stage runs
+# the mixed-precision refined solve — f32 CG iterations + emulated-f64
+# residual refinement (fem.solve.linear_solve_refined), auto-enabled by
+# DDMOptimizationProblem — matching the CPU-x64 objective/gradient to
+# ~1e-12 relative; the offline stage always runs on the CPU backend.
+# PLDSO_PLATFORM=cpu pins everything to the host.
+import os
 import jax
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("PLDSO_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PLDSO_PLATFORM"])
 jax.config.update("jax_enable_x64", True)
 
 import json
-import os
 import time
 
 import numpy as np

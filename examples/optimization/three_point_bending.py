@@ -28,9 +28,12 @@ import sys
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
 
-# host-sized DDM problem: run on CPU x64 (see cantilever_L_beam.py)
+# f64 semantics: native x64 on CPU, mixed-precision refined solve on TPU
+# (see cantilever_L_beam.py).  PLDSO_PLATFORM=cpu pins to the host.
+import os as _os
 import jax
-jax.config.update("jax_platforms", "cpu")
+if _os.environ.get("PLDSO_PLATFORM"):
+    jax.config.update("jax_platforms", _os.environ["PLDSO_PLATFORM"])
 jax.config.update("jax_enable_x64", True)
 
 import json

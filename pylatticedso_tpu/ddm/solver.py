@@ -332,7 +332,7 @@ def solve_ddm(lattice: Lattice, material: Optional[MatProperties] = None,
         from ..fem.solve import refined_solve
         A_hi, b_hi = sys_.hi_operator()
         out = refined_solve(A, A_hi, b_hi, M=M, maxiter=maxiter, tol=tol,
-                            inner_tol=max(tol, 1e-6))
+                            inner_tol=max(tol, 1e-4))
         # post-process (reactions, compliance) at the refined precision
         dt_post = out.x.dtype
         S_post = [jnp.asarray(s, dtype=dt_post) for s in sys_.S_np]

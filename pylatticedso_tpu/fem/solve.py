@@ -138,9 +138,11 @@ def pcg_refined(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
 def linear_solve_refined(A_lo: Callable, b: jnp.ndarray,
                          A_hi: Callable, M: Optional[Callable] = None,
                          maxiter: int = 2000, tol: float = 1e-9,
-                         inner_tol: float = 1e-6,
-                         max_refinements: int = 8,
-                         lo_dtype=jnp.float32) -> jnp.ndarray:
+                         inner_tol: float = 1e-4,
+                         max_refinements: int = 12,
+                         lo_dtype=jnp.float32,
+                         restart_every: int = 0,
+                         x0: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Differentiable refined SPD solve for f32 devices (TPU).
 
     The forward/adjoint CG iterations run in the fast low precision
@@ -161,16 +163,19 @@ def linear_solve_refined(A_lo: Callable, b: jnp.ndarray,
         return refined_solve(A_lo, mv_hi, rhs, M=M, maxiter=maxiter, tol=tol,
                              inner_tol=inner_tol,
                              max_refinements=max_refinements,
-                             lo_dtype=lo_dtype).x
+                             lo_dtype=lo_dtype, restart_every=restart_every,
+                             x0=x0).x
 
     return jax.lax.custom_linear_solve(A_hi, b, solve_fn, symmetric=True)
 
 
 def refined_solve(A_lo: Callable, A_hi: Callable, b_hi: jnp.ndarray,
                   M: Optional[Callable] = None, maxiter: int = 2000,
-                  tol: float = 1e-9, inner_tol: float = 1e-6,
-                  max_refinements: int = 8,
-                  lo_dtype=jnp.float32) -> PCGResult:
+                  tol: float = 1e-9, inner_tol: float = 1e-4,
+                  max_refinements: int = 12,
+                  lo_dtype=jnp.float32,
+                  restart_every: int = 0,
+                  x0: Optional[jnp.ndarray] = None) -> PCGResult:
     """Adaptive iterative-refinement solve (non-differentiable core).
 
     Low-precision inner CG + high-precision residual passes until
@@ -184,27 +189,41 @@ def refined_solve(A_lo: Callable, A_hi: Callable, b_hi: jnp.ndarray,
     nb = _norm(b_hi)
     threshold = tol * jnp.maximum(nb, jnp.finfo(hi_dt).tiny)
 
-    def inner(r_hi):
-        out = pcg(A_lo, r_hi.astype(lo_dtype), M=M, maxiter=maxiter,
-                  tol=inner_tol)
+    def inner(r_hi, g0):
+        r_lo = r_hi.astype(lo_dtype)
+        guess = None
+        if g0 is not None:
+            # A-norm-optimal step along the guess direction: handles scale
+            # AND sign mismatch, so the same guess serves the forward solve
+            # (g0 ~ u) and the adjoint solve under custom_linear_solve
+            # (compliance adjoints are parallel to u) — one lo matvec
+            Ag = A_lo(g0)
+            den = _dot(g0, Ag)
+            alpha = _dot(r_lo, g0) / jnp.where(den == 0, 1.0, den)
+            guess = jnp.where(den == 0, 0.0, alpha) * g0
+        out = pcg(A_lo, r_lo, M=M, maxiter=maxiter, tol=inner_tol,
+                  x0=guess, restart_every=restart_every)
         return out.x.astype(hi_dt), out.iterations
 
-    x0, it0 = inner(b_hi)
-    res0 = _norm(b_hi - A_hi(x0))
+    g0 = None if x0 is None else x0.astype(lo_dtype)
+    x0h, it0 = inner(b_hi, g0)
+    # state carries the hi-precision residual VECTOR: one A_hi apply per
+    # pass (the emulated-f64 matvec is the expensive op on TPU)
+    r0 = b_hi - A_hi(x0h)
 
     def cond(st):
-        _, k, res, _ = st
+        _, _, res, k, _ = st
         return jnp.logical_and(k < max_refinements, res > threshold)
 
     def body(st):
-        x, k, _, it = st
-        r = b_hi - A_hi(x)
-        dx, dit = inner(r)
+        x, r, _, k, it = st
+        dx, dit = inner(r, None)
         x = x + dx
-        return (x, k + 1, _norm(b_hi - A_hi(x)), it + dit)
+        r = b_hi - A_hi(x)
+        return (x, r, _norm(r), k + 1, it + dit)
 
-    x, _, res, iters = jax.lax.while_loop(
-        cond, body, (x0, jnp.asarray(0), res0, it0))
+    x, _, res, _, iters = jax.lax.while_loop(
+        cond, body, (x0h, r0, _norm(r0), jnp.asarray(0), it0))
     return PCGResult(x=x, iterations=iters, residual_norm=res,
                      converged=res <= threshold)
 
@@ -212,7 +231,7 @@ def refined_solve(A_lo: Callable, A_hi: Callable, b_hi: jnp.ndarray,
 def linear_solve(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
                  x0: Optional[jnp.ndarray] = None, maxiter: int = 2000,
                  tol: float = 1e-12, alpha_max: Optional[float] = None,
-                 restart_every: int = 0) -> jnp.ndarray:
+                 restart_every: int = 0, scale_x0: bool = False) -> jnp.ndarray:
     """Differentiable SPD solve: custom_linear_solve with CG forward/adjoint.
 
     Gradients w.r.t. anything entering ``A`` or ``b`` flow through the
@@ -220,13 +239,26 @@ def linear_solve(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
     operator is symmetric.  ``alpha_max``/``restart_every`` are the reference
     CG's robustness guards (conjugate_gradient_solver.py:15-122) for
     operators carrying surrogate noise.
+
+    ``scale_x0=True`` starts each solve at the A-norm-optimal multiple of
+    ``x0`` instead of ``x0`` itself (one extra matvec).  This makes a single
+    warm-start guess serve both the forward solve (x0 ~ x) and the adjoint
+    solve that ``jax.grad`` triggers through the same ``solve_fn`` — for
+    compliance-type objectives the adjoint is parallel to x but differently
+    scaled, where a raw ``x0`` would mislead CG.
     """
 
     def mv(x):
         return A(x)
 
     def solve_fn(matvec, rhs):
-        return pcg(matvec, rhs, M=M, x0=x0, maxiter=maxiter, tol=tol,
+        guess = x0
+        if x0 is not None and scale_x0:
+            Ag = matvec(x0)
+            den = _dot(x0, Ag)
+            alpha = _dot(rhs, x0) / jnp.where(den == 0, 1.0, den)
+            guess = jnp.where(den == 0, 0.0, alpha) * x0
+        return pcg(matvec, rhs, M=M, x0=guess, maxiter=maxiter, tol=tol,
                    alpha_max=alpha_max, restart_every=restart_every).x
 
     return jax.lax.custom_linear_solve(mv, b, solve_fn, symmetric=True)

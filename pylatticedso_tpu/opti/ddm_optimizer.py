@@ -125,10 +125,22 @@ class DDMOptimizationProblem(OptimizationProblem):
         #: edges (measured -1.6e-5 at r = r_min), making the interface
         #: operator indefinite and CG divergent on SLSQP line-search trials.
         self.spd_shift = spd_shift
-        self._surrogate = surrogate or build_schur_surrogate(
-            lattice, self.material, self.param.min_radius,
-            self.param.max_radius, step=grid_step, tol_greedy=tol_greedy,
-            share_weights=share_weights, penalization=penalization)
+        if surrogate is None:
+            # the offline stage (batched condensation + greedy RB) is a
+            # host-sized f64 problem; on accelerators it runs on the CPU
+            # backend (emulated-f64 condensation on TPU would be ~100x
+            # slower for zero benefit — only the ONLINE solve is hot)
+            import contextlib
+            ctx = contextlib.nullcontext()
+            if jax.default_backend() != "cpu":
+                ctx = jax.default_device(jax.devices("cpu")[0])
+            with ctx:
+                surrogate = build_schur_surrogate(
+                    lattice, self.material, self.param.min_radius,
+                    self.param.max_radius, step=grid_step,
+                    tol_greedy=tol_greedy, share_weights=share_weights,
+                    penalization=penalization)
+        self._surrogate = surrogate
 
         # interface topology from the exact DDM assembly (radius-independent
         # without penalization)
@@ -143,8 +155,36 @@ class DDMOptimizationProblem(OptimizationProblem):
         self._iface_u_imp = sys_.u_imposed
         self._n_nodes = sys_.n_nodes
         self._basis = jnp.asarray(self._surrogate.basis)
-        # rebuild jitted gradients against the DDM solve
-        self._value_and_grad = jax.jit(jax.value_and_grad(self._objective_theta))
+        # rebuild jitted gradients against the DDM solve.  Two drivers of
+        # SLSQP wall-clock beyond the solve itself: (a) warm-starting each
+        # interface solve (and its adjoint, via the A-norm-optimal guess
+        # scaling) from the previous iterate's solution, and (b) one fused
+        # value+grad dispatch per point — SLSQP asks for objective and
+        # gradient separately, and on TPU every dispatch pays the
+        # host-device round-trip.
+        self._vg_aux = jax.jit(
+            jax.value_and_grad(self._objective_theta_aux, has_aux=True))
+        self._u_warm = None
+        self._vg_cache = None
+
+    def _eval(self, theta):
+        tb = np.asarray(theta, dtype=np.float64).tobytes()
+        if self._vg_cache is not None and self._vg_cache[0] == tb:
+            return self._vg_cache[1], self._vg_cache[2]
+        u0 = self._u_warm
+        if u0 is None:
+            u0 = jnp.zeros((self._n_nodes, 6), dtype=self._iface_f.dtype)
+        (v, u), g = self._vg_aux(jnp.asarray(theta), u0)
+        self._u_warm = u
+        out = (float(v), np.asarray(g))
+        self._vg_cache = (tb, out[0], out[1])
+        return out
+
+    def objective(self, theta) -> float:
+        return self._eval(theta)[0]
+
+    def gradient(self, theta) -> np.ndarray:
+        return self._eval(theta)[1]
 
     # ------------------------------------------------------------------
     def _cell_schur_batch(self, cell_radii: jnp.ndarray) -> jnp.ndarray:
@@ -163,6 +203,9 @@ class DDMOptimizationProblem(OptimizationProblem):
         raise RuntimeError("use _objective_theta")
 
     def _objective_theta(self, theta: jnp.ndarray) -> jnp.ndarray:
+        return self._objective_theta_aux(theta, None)[0]
+
+    def _objective_theta_aux(self, theta: jnp.ndarray, u0) -> jnp.ndarray:
         cr = self.param.cell_radii(theta)
         S = self._cell_schur_batch(cr)
         free, f, u_imp = self._iface_free, self._iface_f, self._iface_u_imp
@@ -203,7 +246,14 @@ class DDMOptimizationProblem(OptimizationProblem):
             u = linear_solve_refined(
                 A32, b, A_hi=A, M=lambda r: r / d32,
                 maxiter=self.cg_maxiter, tol=self.cg_tol,
-                inner_tol=max(self.cg_tol, 1e-6))
+                # inner_tol well ABOVE the f32 floor: the penalized
+                # interface operator's conditioning puts the attainable f32
+                # relative residual near 1e-6, where an inner CG targeting
+                # 1e-6 burns maxiter stalling; 1e-4 converges fast and three
+                # refinement passes still reach tol 1e-9 in the hi precision
+                inner_tol=max(self.cg_tol, 1e-4),
+                restart_every=1000,
+                x0=None if u0 is None else jax.lax.stop_gradient(u0))
         else:
             # periodic restart (reference CG guard,
             # conjugate_gradient_solver.py): surrogate interpolation noise
@@ -214,6 +264,8 @@ class DDMOptimizationProblem(OptimizationProblem):
             # convergence entirely (measured), so it stays off.
             u = linear_solve(A, b, M=lambda r: r / diag,
                              maxiter=self.cg_maxiter, tol=self.cg_tol,
-                             restart_every=1000)
+                             restart_every=1000,
+                             x0=None if u0 is None else jax.lax.stop_gradient(u0),
+                             scale_x0=True)
         u = free * u + (1.0 - free) * u_imp
-        return self._objective_u(u)
+        return self._objective_u(u), jax.lax.stop_gradient(u)
