@@ -49,18 +49,19 @@ class DDMResult:
 class DDMSystem:
     """Assembled interface operator data.
 
-    S_groups[g]: [m, m] Schur of group g (m = 6 * nb).
+    S_groups[g]: [m_g, m_g] Schur of group g (m_g = 6 * nb_g).
     cells_of_group[g]: int array of cell ids.
-    cell_bnodes: [C, nb] global node ids in simulation order.
+    cell_bnodes: [C, nb] array (homogeneous topologies) or a per-cell list
+    of boundary-node id arrays in simulation order — cells of different
+    topologies (trimmed/bone-shaped hybrids, lattice_sim.py:1227-1252) may
+    have different boundary-node counts; the operator batches per GROUP, so
+    raggedness across groups costs nothing.
     """
 
     def __init__(self, lattice: Lattice, S_groups, cell_group, cell_bnodes,
                  bc: BCArrays, dtype=None):
         self.lattice = lattice
-        C, nb = cell_bnodes.shape
         self.n_nodes = lattice.num_nodes
-        self.nb = nb
-        self.m = 6 * nb
         # host copies at source precision (f64): the refined TPU solve
         # rebuilds a high-precision operator from these for its residuals
         self.S_np = [np.asarray(S) for S in S_groups]
@@ -68,11 +69,25 @@ class DDMSystem:
         self.cell_group = np.asarray(cell_group)
         self.cells_of_group = [np.nonzero(self.cell_group == g)[0]
                                for g in range(len(S_groups))]
-        self.cell_bnodes = jnp.asarray(cell_bnodes, dtype=jnp.int32)
+        bn_list = [np.asarray(b) for b in cell_bnodes]
+        nbs = {len(b) for b in bn_list}
+        self.homogeneous = len(nbs) == 1
+        if self.homogeneous:
+            self.nb = nbs.pop()
+            self.m = 6 * self.nb
+            self.cell_bnodes = jnp.asarray(np.stack(bn_list), dtype=jnp.int32)
+        else:
+            self.nb = self.m = None
+            self.cell_bnodes = None
+        #: per-group [C_g, nb_g] boundary-node ids — the batched operator's
+        #: gather/scatter maps
+        self.bn_groups = [
+            jnp.asarray(np.stack([bn_list[c] for c in cells]), dtype=jnp.int32)
+            for cells in self.cells_of_group]
         fdt = self.S[0].dtype
 
         interface = np.zeros(self.n_nodes, dtype=bool)
-        interface[np.asarray(cell_bnodes).reshape(-1)] = True
+        interface[np.concatenate([b.reshape(-1) for b in bn_list])] = True
         self.interface_nodes = interface
         mask = interface[:, None] & ~bc.fixed
         self.free = jnp.asarray(mask, dtype=fdt)
@@ -83,15 +98,15 @@ class DDMSystem:
     def matvec(self, u: jnp.ndarray, S_list=None) -> jnp.ndarray:
         """Assembled-Schur action K_interface @ u on [N,6] fields."""
         S_list = self.S if S_list is None else S_list
-        Ub = u[self.cell_bnodes].reshape(-1, self.m)        # [C, m]
-        parts = jnp.zeros_like(Ub)
-        for g, cells in enumerate(self.cells_of_group):
-            cg = jnp.asarray(cells)
-            # [C_g, m] @ [m, m] on the MXU (S symmetric)
-            parts = parts.at[cg].set(Ub[cg] @ S_list[g])
-        contrib = parts.reshape(-1, 6)                      # [C*nb, 6]
-        idx = self.cell_bnodes.reshape(-1)
-        return jax.ops.segment_sum(contrib, idx, num_segments=self.n_nodes)
+        out = jnp.zeros((self.n_nodes, 6), dtype=u.dtype)
+        for g, bn in enumerate(self.bn_groups):
+            Cg, nbg = bn.shape
+            Ub = u[bn].reshape(Cg, 6 * nbg)                 # [C_g, m_g]
+            # [C_g, m_g] @ [m_g, m_g] on the MXU (S symmetric)
+            contrib = (Ub @ S_list[g]).reshape(-1, 6)
+            out = out + jax.ops.segment_sum(contrib, bn.reshape(-1),
+                                            num_segments=self.n_nodes)
+        return out
 
     def hi_operator(self, dtype=jnp.float64) -> Tuple[Callable, jnp.ndarray]:
         """(A_hi, b_hi): the masked interface operator and rhs rebuilt at
@@ -112,11 +127,11 @@ class DDMSystem:
     def diagonal(self) -> jnp.ndarray:
         """diag of the assembled interface operator, [N,6]."""
         out = jnp.zeros((self.n_nodes, 6), dtype=self.S[0].dtype)
-        for g, cells in enumerate(self.cells_of_group):
-            d = jnp.diag(self.S[g]).reshape(-1, 6)          # [nb, 6]
-            idx = self.cell_bnodes[jnp.asarray(cells)].reshape(-1)
-            contrib = jnp.tile(d, (len(cells), 1))
-            out = out + jax.ops.segment_sum(contrib, idx, num_segments=self.n_nodes)
+        for g, bn in enumerate(self.bn_groups):
+            d = jnp.diag(self.S[g]).reshape(-1, 6)          # [nb_g, 6]
+            contrib = jnp.tile(d, (bn.shape[0], 1))
+            out = out + jax.ops.segment_sum(contrib, bn.reshape(-1),
+                                            num_segments=self.n_nodes)
         return out
 
     def node_blocks(self) -> jnp.ndarray:
@@ -127,12 +142,13 @@ class DDMSystem:
         sparse LU, invert the node-diagonal blocks.
         """
         out = jnp.zeros((self.n_nodes, 6, 6), dtype=self.S[0].dtype)
-        for g, cells in enumerate(self.cells_of_group):
-            Sg = self.S[g].reshape(self.nb, 6, self.nb, 6)
-            blocks = jnp.einsum("ndme->nmde", Sg)[jnp.arange(self.nb), jnp.arange(self.nb)]
-            idx = self.cell_bnodes[jnp.asarray(cells)].reshape(-1)
-            contrib = jnp.tile(blocks, (len(cells), 1, 1))
-            out = out + jax.ops.segment_sum(contrib, idx, num_segments=self.n_nodes)
+        for g, bn in enumerate(self.bn_groups):
+            nbg = bn.shape[1]
+            Sg = self.S[g].reshape(nbg, 6, nbg, 6)
+            blocks = jnp.einsum("ndme->nmde", Sg)[jnp.arange(nbg), jnp.arange(nbg)]
+            contrib = jnp.tile(blocks, (bn.shape[0], 1, 1))
+            out = out + jax.ops.segment_sum(contrib, bn.reshape(-1),
+                                            num_segments=self.n_nodes)
         return out
 
     # ------------------------------------------------------------------
@@ -166,7 +182,9 @@ class DDMSystem:
             B = B + (1.0 - fm)[:, :, None] * eye[None] * (1.0 - fm)[:, None, :]
             # non-interface nodes: identity
             B = jnp.where(jnp.abs(B).sum((1, 2))[:, None, None] == 0, eye[None], B)
-            Binv = jnp.linalg.inv(B)
+            # invert on the host: one-time setup, and TPUs have no f64
+            # LU ("Only F32 and C64 types are implemented in LuDecomposition")
+            Binv = jnp.asarray(np.linalg.inv(np.asarray(B)), dtype=B.dtype)
             return lambda r: jnp.einsum("nij,nj->ni", Binv, r)
         raise ValueError(f"unknown preconditioner {kind!r}")
 
@@ -210,11 +228,22 @@ def _schur_groups(lattice: Lattice, material: MatProperties,
 
     def cell_signature(c):
         eids = lattice.cell_edge_idx[lattice.cell_edge_ptr[c]:lattice.cell_edge_ptr[c + 1]]
+        nids = lattice.cell_node_idx[lattice.cell_node_ptr[c]:lattice.cell_node_ptr[c + 1]]
+        o, s = lattice.cell_origin[c], lattice.cell_size[c]
+        # the full LOCAL subgraph, not just (radii, size): trimmed/hybrid
+        # lattices have cells sharing radii and size but different beam
+        # sets (lattice_sim.py:1227-1252 loops per cell; we group exactly)
+        remap = np.zeros(lattice.num_nodes, dtype=np.int64)
+        remap[nids] = np.arange(len(nids))
+        local_edges = remap[lattice.edges[eids]]
+        rel_nodes = np.round((lattice.nodes[nids] - o) / s, 9)
         sig = [tuple(np.round(lattice.cell_radii[c], 8)),
                tuple(np.round(lattice.cell_size[c], 9)),
-               tuple(mult[eids])]
+               tuple(mult[eids]),
+               rel_nodes.tobytes(), local_edges.tobytes(),
+               np.round(lattice.radius[eids], 9).tobytes()]
         if l_zones is not None:
-            sig.append(tuple(np.round(l_zones[eids], 9).reshape(-1)))
+            sig.append(np.round(l_zones[eids], 9).tobytes())
         return tuple(sig)
 
     sig_to_group: Dict = {}
@@ -229,33 +258,49 @@ def _schur_groups(lattice: Lattice, material: MatProperties,
 
     S_list = []
     for rep in reps:
-        disc = discretize_cell(lattice, rep, target_h=target_h,
-                               penalization=penalization,
-                               periodicity=periodicity, l_zones=l_zones,
-                               share_weights=share_weights)
         if schur_provider is not None:
             S = schur_provider(lattice.cell_radii[rep])
+        elif not penalization:
+            # chained condensation (per-beam binary-doubling elimination of
+            # the subdivision chain, then a junction-level Schur): equal to
+            # the dense path to machine precision at ~1/1000 the cost —
+            # penalized cells stay on the dense path because lattice-global
+            # L-zones break per-beam segment uniformity
+            from .schur import discretize_cell_chained, schur_complement_chained
+            disc_c = discretize_cell_chained(
+                lattice, rep, target_h=target_h, periodicity=periodicity,
+                share_weights=share_weights)
+            with _condense_ctx():
+                S = np.asarray(schur_complement_chained(
+                    disc_c, lattice.cell_radii[rep],
+                    material.young_modulus, material.poisson_ratio,
+                    dtype=compute_dtype))
         else:
+            disc = discretize_cell(lattice, rep, target_h=target_h,
+                                   penalization=penalization,
+                                   periodicity=periodicity, l_zones=l_zones,
+                                   share_weights=share_weights)
             with _condense_ctx():
                 S = np.asarray(schur_complement(
                     disc, lattice.cell_radii[rep],
                     material.young_modulus, material.poisson_ratio,
                     dtype=compute_dtype))
         S_list.append(S)
-    # per-cell boundary nodes: recompute ordering for every cell (cheap)
-    nb = int(S_list[0].shape[0]) // 6
+    # per-cell boundary nodes: recompute ordering for every cell (cheap);
+    # ragged across groups — trimmed/hybrid lattices have per-cell counts
     C = lattice.num_cells
-    cell_bnodes = np.zeros((C, nb), dtype=np.int64)
+    cell_bnodes = []
     for c in range(C):
         nids = lattice.cell_node_idx[lattice.cell_node_ptr[c]:lattice.cell_node_ptr[c + 1]]
         o, s = lattice.cell_origin[c], lattice.cell_size[c]
         bbox = [o[0], o[0] + s[0], o[1], o[1] + s[1], o[2], o[2] + s[2]]
         order = boundary_node_order(lattice.nodes[nids], bbox)
-        if len(order) != nb:
+        nb_g = int(S_list[group_of_cell[c]].shape[0]) // 6
+        if len(order) != nb_g:
             raise ValueError(
-                f"cell {c} has {len(order)} boundary nodes, expected {nb}; "
-                "mixed-topology lattices are not yet supported by the DDM path")
-        cell_bnodes[c] = nids[order]
+                f"cell {c} has {len(order)} boundary nodes but its Schur "
+                f"group expects {nb_g} — inconsistent grouping signature")
+        cell_bnodes.append(nids[order])
     return S_list, group_of_cell, cell_bnodes
 
 
@@ -281,6 +326,13 @@ def build_ddm_system(lattice: Lattice, material: Optional[MatProperties] = None,
     """
     mat = material or MatProperties(lattice.config.material_name())
     bc = bc or apply_boundary_conditions(lattice)
+    if dtype is None and jax.default_backend() != "cpu":
+        # accelerators without native f64 (TPU): keep the DEVICE operator
+        # in fast f32 — condensation still runs at f64 on the host and
+        # solve_ddm's refined mode recovers f64-grade accuracy from the
+        # retained S_np copies (an emulated-f64 device operator would make
+        # every CG iteration ~100x slower for no accuracy benefit)
+        dtype = jnp.float32
     sim = lattice.config.simulation or {}
     ddm_cfg = sim.get("DDM", {})
     if penalization is None:

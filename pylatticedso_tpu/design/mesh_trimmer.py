@@ -59,6 +59,15 @@ class MeshTrimmer:
         self._e1 = self.triangles[:, 1] - self._v0
         self._e2 = self.triangles[:, 2] - self._v0
 
+    def translate_mesh(self, vector) -> None:
+        self.triangles = self.triangles + np.asarray(vector, dtype=np.float64)
+        self._v0 = self.triangles[:, 0]
+
+    def move_mesh_to_origin(self) -> None:
+        """Translate so the mesh bbox minimum sits at (0,0,0)
+        (mesh_trimmer.py MeshTrimmer.__init__ parity)."""
+        self.translate_mesh(-self.triangles.reshape(-1, 3).min(axis=0))
+
     # ------------------------------------------------------------------
     def _ray_hits(self, origins: np.ndarray, direction: np.ndarray,
                   segment_end: Optional[np.ndarray] = None):
@@ -159,15 +168,60 @@ class MeshTrimmer:
                                               for a in edge_data)
 
     def trim_lattice(self, lattice) -> None:
-        """In-place clip of a built lattice's beams to the mesh."""
+        """In-place clip of a built lattice's beams to the mesh.
+
+        Rebuilds the cell membership maps after clipping (clipped segments
+        stay inside their original cell bbox, so bbox containment recovers
+        the owner), dropping cells left with no beams — the trimmed lattice
+        keeps a valid cell structure and remains solvable by the
+        heterogeneous DDM path (cells near the surface end up with
+        different boundary-node counts; lattice.py:487-493's
+        cut_beam_with_mesh_trimmer equivalent)."""
         out = self.cut_beams_at_mesh_intersection(
             lattice.nodes, lattice.edges,
             (lattice.radius, lattice.edge_type, lattice.edge_mat,
              lattice.edge_cell))
         lattice.nodes, lattice.edges = out[0], out[1]
         lattice.radius, lattice.edge_type, lattice.edge_mat, lattice.edge_cell = out[2:]
-        lattice.cell_edge_ptr = lattice.cell_edge_idx = None
-        lattice.cell_node_ptr = lattice.cell_node_idx = None
+
+        # drop orphan nodes (endpoints of fully-outside beams): they carry
+        # zero stiffness and would make the masked FEM/DDM operators singular
+        used = np.zeros(len(lattice.nodes), dtype=bool)
+        used[lattice.edges.reshape(-1)] = True
+        node_map = -np.ones(len(lattice.nodes), dtype=np.int64)
+        node_map[used] = np.arange(int(used.sum()))
+        lattice.nodes = lattice.nodes[used]
+        lattice.edges = node_map[lattice.edges].astype(lattice.edges.dtype)
+
+        from .lattice import _membership_by_bbox, _pairs_to_csr
+        C = lattice.num_cells
+        ce = _membership_by_bbox(lattice.nodes, lattice.edges,
+                                 lattice.cell_origin, lattice.cell_size)
+        keep = np.zeros(C, dtype=bool)
+        keep[np.unique(ce[:, 0])] = True
+        new_id = -np.ones(C, dtype=np.int64)
+        new_id[keep] = np.arange(int(keep.sum()))
+        lattice.cell_pos = lattice.cell_pos[keep]
+        lattice.cell_origin = lattice.cell_origin[keep]
+        lattice.cell_size = lattice.cell_size[keep]
+        lattice.cell_radii = lattice.cell_radii[keep]
+        ce = np.stack([new_id[ce[:, 0]], ce[:, 1]], axis=1)
+        cn = np.unique(np.concatenate([
+            np.stack([ce[:, 0], lattice.edges[ce[:, 1], 0]], axis=1),
+            np.stack([ce[:, 0], lattice.edges[ce[:, 1], 1]], axis=1)]), axis=0)
+        Ck = int(keep.sum())
+        lattice.cell_edge_ptr, lattice.cell_edge_idx = _pairs_to_csr(ce, Ck)
+        lattice.cell_node_ptr, lattice.cell_node_idx = _pairs_to_csr(cn, Ck)
+        ec = new_id[np.clip(lattice.edge_cell, 0, C - 1)]
+        # edges whose creating cell was dropped: reassign to any containing cell
+        first_of_edge = {}
+        for c, e in ce:
+            first_of_edge.setdefault(int(e), int(c))
+        bad = ec < 0
+        lattice.edge_cell = np.where(
+            bad, [first_of_edge.get(i, 0) for i in range(lattice.num_edges)],
+            ec).astype(np.int32)
+
         from .tags import tag_points
         mins, maxs = lattice.nodes.min(0), lattice.nodes.max(0)
         lattice.node_tag = tag_points(

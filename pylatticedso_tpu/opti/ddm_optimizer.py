@@ -147,6 +147,12 @@ class DDMOptimizationProblem(OptimizationProblem):
         sys_ = build_ddm_system(lattice, self.material, self.bc,
                                 penalization=False,
                                 share_weights=share_weights)
+        if not sys_.homogeneous:
+            raise NotImplementedError(
+                "the Schur SURROGATE is trained on one cell template; "
+                "mixed-topology (e.g. trimmed) lattices need per-group "
+                "surrogates — use solve_ddm (exact heterogeneous DDM) or "
+                "the full-FEM OptimizationProblem instead")
         self._cell_bnodes = sys_.cell_bnodes            # [C, nb]
         self._nb = sys_.nb
         self._m = sys_.m

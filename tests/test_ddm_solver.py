@@ -108,3 +108,31 @@ def test_refined_f32_ddm_reaches_f64_accuracy():
     plain = solve_ddm(lat, system=sys32, tol=1e-10, refined=False)
     rel_plain = np.linalg.norm(plain.u - r64.u) / np.linalg.norm(r64.u)
     assert rel_plain > rel * 10
+
+
+def test_heterogeneous_trimmed_ddm_matches_fem():
+    """Mixed-topology DDM: a mesh-trimmed lattice (per-cell boundary-node
+    counts 4/6/8) grouped per unique local subgraph solves to the FEM
+    solution — the reference's per-cell heterogeneous loop
+    (lattice_sim.py:1227-1252) done as batched per-group GEMMs."""
+    from pylatticedso_tpu.design.mesh_trimmer import MeshTrimmer
+
+    def octahedron(center, R):
+        c = np.asarray(center, float)
+        vx = [c + R * np.asarray(v) for v in
+              [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]]
+        faces = [(0, 2, 4), (2, 1, 4), (1, 3, 4), (3, 0, 4),
+                 (2, 0, 5), (1, 2, 5), (3, 1, 5), (0, 3, 5)]
+        return np.asarray([[vx[i], vx[j], vx[k]] for i, j, k in faces])
+
+    lat = make_lattice(n=(3, 3, 3), force=True)
+    MeshTrimmer(octahedron((1.5, 1.5, 1.5), 3.2)).trim_lattice(lat)
+    sys_ = build_ddm_system(lat)
+    assert not sys_.homogeneous
+    assert len({bn.shape[1] for bn in sys_.bn_groups}) >= 2
+    ddm = solve_ddm(lat, system=sys_, tol=1e-12)
+    fem = solve_fem(lat, subdivide_h=0.05, penalization=True, tol=1e-13)
+    iface = sys_.interface_nodes
+    rel = np.linalg.norm(ddm.u[iface] - fem.u[iface]) / np.linalg.norm(fem.u[iface])
+    assert rel < 1e-8, f"heterogeneous FEM-vs-DDM rel err {rel:.2e}"
+    np.testing.assert_allclose(ddm.compliance, fem.compliance, rtol=1e-8)
