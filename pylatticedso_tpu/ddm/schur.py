@@ -491,3 +491,40 @@ def schur_penalized_batch(lattice, radii_batch, E, nu, cell_index: int = 0,
             S = K_BB
         out.append(S)
     return np.stack(out)
+
+
+def schur_fe2(lattice, cell_index: int, material, target_h: Optional[float] = None,
+              tol: float = 1e-13) -> np.ndarray:
+    """Cell Schur complement via inner FEM solves — the FE2 mode.
+
+    The reference's ``schur_complement_computation.type = "FE2"``
+    (lattice_sim.py:113,130,1238) applies the interface operator by solving
+    the cell's full FEM subproblem under the current boundary displacements
+    (solve_sub_problem -> solve_FEM_cell, utils_simulation.py:58-82) on
+    EVERY CG iteration.  For a linear cell that operator IS a matrix, so
+    the TPU-native equivalent assembles it once per unique cell group:
+    column j = boundary reactions under a unit displacement on boundary
+    DOF j, computed through the same ``solve_fem_cell`` machinery — a
+    genuinely independent route from the algebraic condensation (no
+    penalization, matching the reference's FE2 semantics: its
+    set_penalized_beams runs only for type "exact", lattice_sim.py:119-123).
+    """
+    import numpy as np
+    from ..sim.boundary_order import boundary_node_order
+    from ..sim.utils_simulation import solve_fem_cell
+
+    c = cell_index
+    nids = lattice.cell_node_idx[lattice.cell_node_ptr[c]:lattice.cell_node_ptr[c + 1]]
+    o, s = lattice.cell_origin[c], lattice.cell_size[c]
+    bbox = [o[0], o[0] + s[0], o[1], o[1] + s[1], o[2], o[2] + s[2]]
+    b_local = boundary_node_order(lattice.nodes[nids], bbox)
+    nb = len(b_local)
+    m = 6 * nb
+    S = np.zeros((m, m))
+    for j in range(m):
+        ub = np.zeros((nb, 6))
+        ub[j // 6, j % 6] = 1.0
+        res = solve_fem_cell(lattice, c, ub, material=material,
+                             target_h=target_h, tol=tol)
+        S[:, j] = np.asarray(res.reaction)[b_local].reshape(-1)
+    return 0.5 * (S + S.T)

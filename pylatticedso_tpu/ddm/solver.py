@@ -193,7 +193,7 @@ def _schur_groups(lattice: Lattice, material: MatProperties,
                   penalization: bool, periodicity: bool,
                   target_h: Optional[float], dtype=None,
                   schur_provider: Optional[Callable] = None,
-                  share_weights: bool = True):
+                  share_weights: bool = True, fe2: bool = False):
     """Compute one Schur complement per unique cell group.
 
     Group key: (radii, cell size) like the reference's cache
@@ -260,6 +260,12 @@ def _schur_groups(lattice: Lattice, material: MatProperties,
     for rep in reps:
         if schur_provider is not None:
             S = schur_provider(lattice.cell_radii[rep])
+        elif fe2:
+            # FE2 mode: the operator column-assembled by inner FEM solves
+            # (schur.schur_fe2) — cached per group where the reference
+            # re-solves the cell on every CG iteration (lattice_sim.py:1238)
+            from .schur import schur_fe2
+            S = schur_fe2(lattice, rep, material, target_h=target_h)
         elif not penalization:
             # chained condensation (per-beam binary-doubling elimination of
             # the subdivision chain, then a junction-level Schur): equal to
@@ -335,16 +341,17 @@ def build_ddm_system(lattice: Lattice, material: Optional[MatProperties] = None,
         dtype = jnp.float32
     sim = lattice.config.simulation or {}
     ddm_cfg = sim.get("DDM", {})
+    schur_type = (ddm_cfg.get("schur_complement_computation", {}) or {}).get("type", "exact")
     if penalization is None:
         # reference applies penalization only for the exact Schur type
         # (lattice_sim.py:119-123)
-        schur_type = (ddm_cfg.get("schur_complement_computation", {}) or {}).get("type", "exact")
         penalization = schur_type == "exact" and schur_provider is None
     if periodicity is None:
         periodicity = bool(sim.get("periodicity", False))
+    fe2 = schur_type == "FE2" and schur_provider is None
     S_list, group_of_cell, cell_bnodes = _schur_groups(
         lattice, mat, penalization, periodicity, target_h, dtype,
-        schur_provider, share_weights=share_weights)
+        schur_provider, share_weights=share_weights, fe2=fe2)
     return DDMSystem(lattice, S_list, group_of_cell, cell_bnodes, bc, dtype=dtype)
 
 

@@ -136,3 +136,61 @@ def test_penalized_chained_matches_subdivided():
                                             mat.poisson_ratio))
         err = np.linalg.norm(S_fast[i] - S_ref) / np.linalg.norm(S_ref)
         assert err < 1e-12, (i, err)
+
+
+def test_fe2_schur_matches_exact_condensation():
+    """FE2 (column-wise inner FEM solves, lattice_sim.py:113,1238) equals
+    the algebraic condensation of the same non-penalized discretization."""
+    from pylatticedso_tpu import build_lattice
+    from pylatticedso_tpu.materials import MatProperties
+    from pylatticedso_tpu.ddm.schur import (discretize_cell, schur_complement,
+                                            schur_fe2)
+
+    lat = build_lattice({
+        "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                     "number_of_cells": {"x": 1, "y": 1, "z": 1},
+                     "radii": [0.08], "geom_types": ["BCC"]},
+        "simulation_parameters": {"enable": True, "material": "VeroClear"},
+        "boundary_conditions": {}})
+    mat = MatProperties("VeroClear")
+    disc = discretize_cell(lat, 0, target_h=0.3, penalization=False)
+    S_exact = np.asarray(schur_complement(disc, lat.cell_radii[0],
+                                          mat.young_modulus, mat.poisson_ratio))
+    S_fe2 = schur_fe2(lat, 0, mat, target_h=0.3)
+    rel = np.linalg.norm(S_fe2 - S_exact) / np.linalg.norm(S_exact)
+    assert rel < 1e-9, f"FE2 vs exact condensation rel err {rel:.2e}"
+
+
+def test_fe2_config_driven_solve():
+    """schur_complement_computation.type = 'FE2' routes the DDM build
+    through inner FEM solves; displacements match the exact non-penalized
+    mode to solver precision and the penalized exact mode within
+    discretization (penalization) error."""
+    from pylatticedso_tpu import build_lattice
+    from pylatticedso_tpu.ddm.solver import solve_ddm
+
+    def make(schur_type):
+        return build_lattice({
+            "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                         "number_of_cells": {"x": 2, "y": 1, "z": 1},
+                         "radii": [0.08], "geom_types": ["BCC"]},
+            "simulation_parameters": {"enable": True, "material": "VeroClear",
+                                      "DDM": {"schur_complement_computation":
+                                              {"type": schur_type}}},
+            "boundary_conditions": {
+                "Displacement": {"Fixed": {"Surface": ["Xmin"],
+                                           "DOF": ["X", "Y", "Z", "RX", "RY", "RZ"],
+                                           "Value": [0, 0, 0, 0, 0, 0]}},
+                "Force": {"Load": {"Surface": ["Xmax"], "DOF": ["Z"],
+                                   "Value": [-0.1]}}}})
+
+    fe2 = solve_ddm(make("FE2"), tol=1e-11, target_h=0.3)
+    ex_np = solve_ddm(make("exact"), tol=1e-11, target_h=0.3,
+                      penalization=False)
+    ex_pen = solve_ddm(make("exact"), tol=1e-11, target_h=0.3)
+    rel = np.linalg.norm(fe2.u - ex_np.u) / np.linalg.norm(ex_np.u)
+    assert rel < 1e-8, f"FE2-vs-exact(non-pen) rel err {rel:.2e}"
+    # penalization stiffens joints (L-zones at 0.08 radius are large):
+    # FE2 is the same physics minus joint stiffening — softer, same order
+    assert fe2.compliance >= ex_pen.compliance
+    assert fe2.compliance < 3 * ex_pen.compliance
