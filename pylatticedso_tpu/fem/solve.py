@@ -21,8 +21,8 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pcg", "linear_solve", "linear_solve_refined", "refined_solve",
-           "PCGResult"]
+__all__ = ["pcg", "linear_solve", "linear_solve_refined",
+           "linear_solve_dense_refined", "refined_solve", "PCGResult"]
 
 
 class PCGResult(NamedTuple):
@@ -226,6 +226,46 @@ def refined_solve(A_lo: Callable, A_hi: Callable, b_hi: jnp.ndarray,
         cond, body, (x0h, r0, _norm(r0), jnp.asarray(0), it0))
     return PCGResult(x=x, iterations=iters, residual_norm=res,
                      converged=res <= threshold)
+
+
+def linear_solve_dense_refined(apply_inv: Callable, b: jnp.ndarray,
+                               A_hi: Callable, tol: float = 1e-9,
+                               max_refinements: int = 40,
+                               x0: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Differentiable mixed-precision DENSE solve (TPU path for small
+    systems).
+
+    ``apply_inv(r) -> ~A^-1 r`` applies a low-precision factorization
+    (e.g. an equilibrated f32 Cholesky — dense triangular solves on the
+    MXU); ``A_hi`` recomputes residuals in high precision (emulated f64 on
+    TPU).  Classic f32-factor + f64-residual iterative refinement: each
+    pass contracts the error by ~kappa*eps_f32, and passes cost two
+    triangular solves + one hi matvec — microseconds at interface sizes,
+    where a latency-bound matrix-free CG while_loop costs seconds per
+    solve on TPU.  Gradients flow through ``A_hi``/``b`` via
+    ``lax.custom_linear_solve``; the adjoint solve reuses the same factor.
+    """
+    def solve_fn(mv_hi, rhs):
+        hi = rhs.dtype
+        threshold = tol * jnp.maximum(_norm(rhs), jnp.finfo(hi).tiny)
+        x_init = jnp.zeros_like(rhs) if x0 is None else x0.astype(hi)
+        r_init = rhs - mv_hi(x_init)
+
+        def cond(st):
+            _, _, res, k = st
+            return jnp.logical_and(k < max_refinements, res > threshold)
+
+        def body(st):
+            x, r, _, k = st
+            x = x + apply_inv(r).astype(hi)
+            r = rhs - mv_hi(x)
+            return (x, r, _norm(r), k + 1)
+
+        x, _, _, _ = jax.lax.while_loop(
+            cond, body, (x_init, r_init, _norm(r_init), jnp.asarray(0)))
+        return x
+
+    return jax.lax.custom_linear_solve(A_hi, b, solve_fn, symmetric=True)
 
 
 def linear_solve(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..design.lattice import Lattice
-from ..fem.solve import linear_solve, linear_solve_refined
+from ..fem.solve import linear_solve
 from ..ddm.schur import (discretize_cell_chained, schur_batch_chained,
                          schur_penalized_batch)
 from ..ddm.solver import build_ddm_system
@@ -109,12 +109,13 @@ class DDMOptimizationProblem(OptimizationProblem):
                  spd_shift: float = 1e-6,
                  refined: Optional[bool] = None, **kwargs):
         super().__init__(lattice, **kwargs)
-        #: mixed-precision interface solve: f32 CG iterations + emulated-f64
-        #: residual refinement (fem.solve.linear_solve_refined).  This is
-        #: how the penalized tol-1e-9 interface CG — the reference's
-        #: PETSc-f64 semantics — runs on TPUs, which have no native f64 (a
-        #: plain f32 CG stalls at the kappa*eps_f32 floor and SLSQP sees
-        #: noise).  Auto: ON for non-CPU backends when x64 is enabled.
+        #: mixed-precision interface solve: equilibrated f32 dense Cholesky
+        #: on the MXU + emulated-f64 residual refinement
+        #: (fem.solve.linear_solve_dense_refined).  This is how the
+        #: penalized tol-1e-9 interface solve — the reference's PETSc-f64
+        #: semantics — runs on TPUs, which have no native f64 (a plain f32
+        #: solve stalls at the kappa*eps_f32 floor and SLSQP sees noise).
+        #: Auto: ON for non-CPU backends when x64 is enabled.
         if refined is None:
             refined = bool(jax.config.x64_enabled) \
                 and jax.default_backend() != "cpu"
@@ -241,24 +242,42 @@ class DDMOptimizationProblem(OptimizationProblem):
 
         b = free * (f - K(u_imp)) + (1.0 - free) * u_imp
         if self.refined and S.dtype == jnp.float64:
-            # TPU path: f32 CG iterations, emulated-f64 residual refinement
-            # (see linear_solve_refined).  Gradients flow through the f64
-            # operator via custom_linear_solve; the f32 copies live only
-            # inside the non-differentiated solve_fn.
+            # TPU path: the interface system is SMALL (a few thousand
+            # DOFs), so the TPU-native solve is dense mixed precision —
+            # assemble the interface matrix, equilibrate, factor once in
+            # f32 on the MXU, and refine with emulated-f64 residuals
+            # (linear_solve_dense_refined).  A matrix-free f32 CG
+            # while_loop is latency-bound at this size (measured ~46 s per
+            # value+grad on a v5e vs ~0.1 s for the dense path).  Gradients
+            # flow through the f64 operator via custom_linear_solve; the
+            # adjoint solve reuses the same factor.
             f32 = jnp.float32
-            S32, free32 = S.astype(f32), free.astype(f32)
-            A32 = make_A(make_K(S32), free32)
-            d32 = diag.astype(f32)
-            u = linear_solve_refined(
-                A32, b, A_hi=A, M=lambda r: r / d32,
-                maxiter=self.cg_maxiter, tol=self.cg_tol,
-                # inner_tol well ABOVE the f32 floor: the penalized
-                # interface operator's conditioning puts the attainable f32
-                # relative residual near 1e-6, where an inner CG targeting
-                # 1e-6 burns maxiter stalling; 1e-4 converges fast and three
-                # refinement passes still reach tol 1e-9 in the hi precision
-                inner_tol=max(self.cg_tol, 1e-4),
-                restart_every=1000,
+            ndof = 6 * N
+            dof = (bn[:, :, None] * 6
+                   + jnp.arange(6, dtype=bn.dtype)).reshape(-1, m)  # [C, m]
+            I = jnp.broadcast_to(dof[:, :, None], S.shape).reshape(-1)
+            J = jnp.broadcast_to(dof[:, None, :], S.shape).reshape(-1)
+            free_flat = free.reshape(-1).astype(f32)
+            A32 = jnp.zeros((ndof, ndof), dtype=f32)
+            A32 = A32.at[I, J].add(
+                jax.lax.stop_gradient(S).astype(f32).reshape(-1))
+            A32 = free_flat[:, None] * A32 * free_flat[None, :] \
+                + jnp.diag(1.0 - free_flat)
+            # Jacobi equilibration: halves the effective condition number's
+            # spread across penalized/thin-radius cells before the f32 factor
+            d32 = jnp.diagonal(A32)
+            s32 = jax.lax.rsqrt(jnp.where(d32 <= 0, 1.0, d32))
+            L32 = jnp.linalg.cholesky(s32[:, None] * A32 * s32[None, :])
+
+            def apply_inv(r):
+                y = s32 * r.reshape(-1).astype(f32)
+                y = jax.scipy.linalg.solve_triangular(L32, y, lower=True)
+                y = jax.scipy.linalg.solve_triangular(L32.T, y, lower=False)
+                return (s32 * y).reshape(N, 6)
+
+            from ..fem.solve import linear_solve_dense_refined
+            u = linear_solve_dense_refined(
+                apply_inv, b, A_hi=A, tol=self.cg_tol,
                 x0=None if u0 is None else jax.lax.stop_gradient(u0))
         else:
             # periodic restart (reference CG guard,
