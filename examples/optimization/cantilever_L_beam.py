@@ -7,9 +7,13 @@ compliance 4.4029e-3 at rho 0.300.  Here the offline stage is batched
 exact condensation + greedy RB + RBF, and every online iteration is one
 differentiable jnp program.
 
-Measured (2026-08-16, this repo, CPU x64 online stage):
-* this script: success=True, compliance 4.547e-3 at rho 0.3000, 289 s
-  total (228 s offline cold, cached thereafter; 61 s online).
+Measured (2026-08-17, this repo, online stage ON THE TPU — mixed-precision
+refined interface CG, f64 interface data):
+* this script: success=True, compliance 4.5345e-3 at rho 0.3000, 287 s
+  total (19 s offline from cache; 268 s online on the tunneled v5e).
+* CPU-x64 control with the same drive: 4.5417e-3, 251 s — the TPU run
+  matches the physics to ~1e-11 per evaluation and here finds the
+  slightly better KKT point.
 * our exact model evaluates the reference's final parameters at 4.405e-3
   but our voxel-exact union density assigns them rho 0.3061 (their
   runtime density model is not reproducible from their committed
@@ -91,10 +95,18 @@ t0 = time.time()
 # unbounded first QP step from the reference's infeasible start and
 # wanders through surrogate-invalid corners — see optimize_slsqp); a free
 # SLSQP polish from the move-limited optimum then converges to KKT.
-result = problem.optimize_slsqp(max_iterations=120, ftol=1e-7,
+# run the move-limited phase to CONVERGENCE (not an iteration cap): a cap
+# hands the free polish a mid-line-search state where platform roundoff
+# (1e-9-level TPU vs CPU differences) forks the basin choice; a converged
+# phase-1 point is a stable hand-off.
+MAXIT = int(os.environ.get("LBEAM_MAXIT", "300"))
+result = problem.optimize_slsqp(max_iterations=MAXIT, ftol=1e-7,
                                 feasible_start=True, move_limit=0.1)
-problem.param.x0 = np.asarray(result.theta)
-result = problem.optimize_slsqp(max_iterations=50, ftol=1e-6)
+# restart-until-stationary polish: a single free SLSQP run can declare
+# success ~1% early at a roundoff-level line-search fork (observed on
+# TPU); restarts from a true KKT point cost one extra iteration.
+from pylatticedso_tpu.opti import slsqp_polish
+result = slsqp_polish(problem, result, max_iterations=50, ftol=1e-6)
 t_online = time.time() - t0
 print(f"online SLSQP: {t_online:.1f} s, {result.iterations} iterations "
       f"(success {result.success})")

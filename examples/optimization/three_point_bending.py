@@ -91,8 +91,8 @@ if MODE == "constant":
 else:
     result = problem.optimize_slsqp(max_iterations=MAXIT, ftol=1e-7,
                                     feasible_start=True, move_limit=0.1)
-    problem.param.x0 = np.asarray(result.theta)
-    result = problem.optimize_slsqp(max_iterations=50, ftol=1e-6)
+    from pylatticedso_tpu.opti import slsqp_polish
+    result = slsqp_polish(problem, result, max_iterations=50, ftol=1e-6)
 t_online = time.time() - t0
 print(f"online SLSQP: {t_online:.1f} s, {result.iterations} iterations "
       f"(success {result.success})")

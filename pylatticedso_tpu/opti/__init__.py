@@ -33,6 +33,37 @@ def _better_result(r1, r2, constraints, feas_tol: float = 1e-6):
     return r1 if k1 <= k2 else r2
 
 
+def slsqp_polish(problem, result, max_iterations: int = 50,
+                 ftol: float = 1e-6, max_restarts: int = 4):
+    """Repeat free SLSQP polishes from the current best point until a
+    restart stops improving the objective (keeping the better, feasible
+    point each time).
+
+    Why: a single SLSQP run can terminate prematurely when two consecutive
+    iterates happen to satisfy its ftol test at a line-search fork.
+    Measured on the L-beam record: the TPU and CPU-x64 trajectories were
+    IDENTICAL (every eval within 1e-9 relative) for 120 evaluations, then
+    forked on a single roundoff-level accept/reject flip — one branch
+    polished to 4.547e-3, the other declared success 1% higher at
+    4.590e-3.  Restarting resets SLSQP's internal state; from a true KKT
+    point the restart terminates after one iteration, so the cost of
+    robustness is one cheap extra SLSQP call.
+    """
+    import numpy as np
+    best = result
+    for _ in range(max_restarts):
+        problem.param.x0 = np.asarray(best.theta)
+        nxt = problem.optimize_slsqp(max_iterations=max_iterations, ftol=ftol)
+        cand = _better_result(best, nxt, problem.constraints or {})
+        improved = (cand is nxt) and (
+            best.objective - nxt.objective
+            > 10.0 * ftol * max(abs(best.objective), 1e-30))
+        best = cand
+        if not improved:
+            break
+    return best
+
+
 def optimize_lattice(lattice, max_iterations=None, driver: str = "slsqp",
                      **kwargs):
     """One-call design optimization from the config's
@@ -86,14 +117,12 @@ def optimize_lattice(lattice, max_iterations=None, driver: str = "slsqp",
                                              ftol=cfg.get("ftol", 1e-6),
                                              feasible_start=True,
                                              move_limit=0.1)
-            problem.param.x0 = result1.theta
-            result2 = problem.optimize_slsqp(max_iterations=iters,
-                                             ftol=cfg.get("ftol", 1e-6))
-            # the free polish can regress (the very scipy>=1.16 pathology
-            # the move-limited phase guards against): keep the better of
-            # the two phases, preferring feasible points
-            result = _better_result(result1, result2,
-                                    problem.constraints or {})
+            # restart-until-stationary free polish; keeps the better,
+            # feasible point each round (the free polish can regress —
+            # the very scipy>=1.16 pathology the move-limited phase
+            # guards against)
+            result = slsqp_polish(problem, result1, max_iterations=iters,
+                                  ftol=cfg.get("ftol", 1e-6))
         else:
             result = problem.optimize_slsqp(max_iterations=iters)
     elif driver == "projected":
@@ -107,4 +136,5 @@ __all__ = [
     "KrigingDensity", "density_analytic", "density_dataset", "density_voxel",
     "filter_outliers", "OptimizationProblem", "OptimizationResult",
     "Parameterization", "make_parameterization", "optimize_lattice",
+    "slsqp_polish",
 ]

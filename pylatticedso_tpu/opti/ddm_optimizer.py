@@ -145,9 +145,17 @@ class DDMOptimizationProblem(OptimizationProblem):
 
         # interface topology from the exact DDM assembly (radius-independent
         # without penalization)
+        # dtype=f64 explicitly: build_ddm_system defaults the DEVICE copies
+        # to f32 on accelerators (right for solve_ddm's refined mode, which
+        # re-reads the retained f64 host copies), but HERE the interface
+        # data feeds the f64 surrogate operator directly — an f32-rounded
+        # f_applied perturbs the objective by ~5e-8 relative, above the
+        # 1e-9 solve tolerance (measured on a v5e: every eval off by
+        # exactly the f32 rounding of f).
         sys_ = build_ddm_system(lattice, self.material, self.bc,
                                 penalization=False,
-                                share_weights=share_weights)
+                                share_weights=share_weights,
+                                dtype=jnp.float64)
         if not sys_.homogeneous:
             raise NotImplementedError(
                 "the Schur SURROGATE is trained on one cell template; "
