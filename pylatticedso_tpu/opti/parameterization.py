@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,8 +54,20 @@ class Parameterization:
     def _denorm(self, v):
         if not self.normalized:
             return v
-        return jnp.clip(v * self.span + self.min_radius,
-                        self.min_radius, self.max_radius)
+        r = v * self.span + self.min_radius
+        rc = jnp.clip(r, self.min_radius, self.max_radius)
+        # straight-through clip: value clamped, gradient = span.  theta is
+        # already bound-constrained to [0,1] by the optimizer, so the clip
+        # only guards roundoff — but a HARD clip zeroes d(radius)/d(theta)
+        # whenever the affine map lands EXACTLY on a bound (jax min/max
+        # ties route the derivative to the constant).  That is platform-
+        # dependent: under f32 arithmetic 1.0*0.09 + 0.01 == 0.1 exactly,
+        # under f64 it is one ulp below — so on TPU every bound-active
+        # parameter's gradient silently became 0.0 while CPU kept the true
+        # one-sided value (measured: 66 of 750 components zeroed at the
+        # three-point-bending solution, and SLSQP converged to visibly
+        # worse designs on TPU).
+        return r + jax.lax.stop_gradient(rc - r)
 
     def cell_radii(self, theta: jnp.ndarray) -> jnp.ndarray:
         """[C, G] physical radii from the parameter vector."""

@@ -173,6 +173,24 @@ class MGLevel:
         f = self.free
         return f * self.matvec.apply(f * u, aux) + (1.0 - f) * u
 
+    def prepare_lo(self, aux):
+        """bf16 copy of the hoisted operands, when the matvec has a
+        low-precision form (the Pallas kernel); None otherwise."""
+        ap = getattr(self.matvec, "apply", None)
+        if aux is None or ap is None or not hasattr(ap, "lo"):
+            return None
+        return ap.prepare_lo(aux)
+
+    def A_aux_lo(self, u, aux_lo):
+        """Smoother-grade matvec: bf16 kernel I/O (f32 arithmetic inside),
+        f32 vectors outside.  ~2x less HBM traffic per application; only
+        valid inside the preconditioner, which is just some fixed SPD-ish
+        operator — the outer CG matvec stays full f32."""
+        f = self.free
+        out = self.matvec.apply.lo((f * u).astype(jnp.bfloat16),
+                                   aux_lo).astype(u.dtype)
+        return f * out + (1.0 - f) * u
+
     def D(self, radius):
         f = self.free
         d = f * self.diag_fn(radius) + (1.0 - f)
@@ -295,20 +313,36 @@ def mg_precond_state(h: dict, radius_field: jnp.ndarray,
         lmaxs.append(_estimate_lmax(Af, D, D.shape, levels[0].slat.dtype,
                                     iters=power_iters))
     Ds = [lvl.D(rad) for lvl, rad in zip(levels, radii)]
-    return {"radii": radii, "auxs": auxs, "Ds": Ds, "lmaxs": lmaxs}
+    auxs_lo = [lvl.prepare_lo(aux) for lvl, aux in zip(levels, auxs)]
+    return {"radii": radii, "auxs": auxs, "Ds": Ds, "lmaxs": lmaxs,
+            "auxs_lo": auxs_lo}
 
 
 def mg_apply(h: dict, state: dict, nu: int = 2, coarse_degree: int = 24,
-             smooth_frac: float = 0.25) -> Callable:
-    """V(nu,nu)-cycle application M(r) from a precomputed state."""
+             smooth_frac: float = 0.25,
+             lo_smoother: Optional[bool] = None) -> Callable:
+    """V(nu,nu)-cycle application M(r) from a precomputed state.
+
+    ``lo_smoother`` runs the smoothing matvecs through the bf16-I/O Pallas
+    kernel where available (halved smoother HBM traffic; the V-cycle
+    stays a fixed deterministic operator, so plain CG remains valid).
+    Default: the PLDSO_MG_BF16 env var.
+    """
+    import os
+    if lo_smoother is None:
+        lo_smoother = os.environ.get("PLDSO_MG_BF16") == "1"
     levels: List[MGLevel] = h["levels"]
     nL = len(levels)
     radii, auxs, Ds, lmaxs = (state["radii"], state["auxs"], state["Ds"],
                               state["lmaxs"])
+    auxs_lo = state.get("auxs_lo", [None] * nL)
 
     def vcycle(level: int, b: jnp.ndarray) -> jnp.ndarray:
         lvl, rad, D, lmax = levels[level], radii[level], Ds[level], lmaxs[level]
-        Af = lambda u: lvl.A_aux(u, rad, auxs[level])
+        if lo_smoother and auxs_lo[level] is not None:
+            Af = lambda u: lvl.A_aux_lo(u, auxs_lo[level])
+        else:
+            Af = lambda u: lvl.A_aux(u, rad, auxs[level])
         if level == nL - 1:
             # coarsest: aggressive Chebyshev over (almost) the full spectrum
             return _chebyshev(Af, D, b, None, lmax, 1.0 / 64.0, coarse_degree)

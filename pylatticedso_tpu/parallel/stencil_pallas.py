@@ -110,76 +110,88 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
     if dt != jnp.float32:
         raise ValueError("pallas stencil matvec is float32-only")
 
-    def kernel(up, uc, un, rp, rc, rn, out_ref):
-        cache = {}
+    def make_kernel(io_dtype):
+        """Kernel body; loads upcast ``io_dtype`` -> f32 (all arithmetic
+        stays f32), output downcast to ``io_dtype``.  bf16 I/O halves the
+        kernel's HBM traffic — used for the multigrid SMOOTHER matvecs
+        (the preconditioner is any fixed operator; the outer CG matvec
+        stays f32)."""
 
-        def shifted(prev, cur, nxt, row0, nrows, off):
-            """(nrows, T) window at static column offset ``off`` of the
-            logical [.., 3T] neighborhood, without materializing it.
-            Memoized: many edge-sides share the same (class, offset) read
-            (e.g. both endpoints of parallel template edges), and the
-            unaligned column shifts are the kernel's dominant VPU cost."""
-            key = (id(cur), row0, nrows, off)
-            if key in cache:
-                return cache[key]
-            rs = slice(row0, row0 + nrows)
-            if off == 0:
-                out = cur[rs, :]
-            elif off > 0:
-                out = jnp.concatenate([cur[rs, off:], nxt[rs, :off]], axis=1)
-            else:
-                out = jnp.concatenate([prev[rs, T + off:], cur[rs, :T + off]],
-                                      axis=1)
-            cache[key] = out
-            return out
+        def kernel(up, uc, un, rp, rc, rn, out_ref):
+            cache = {}
 
-        acc = [jnp.zeros((6, T), jnp.float32) for _ in range(nc)]
-        for r in recs:
-            t, a1, a2, L = r["t"], r["a1"], r["a2"], r["L"]
-            invL = 1.0 / L
-            cs, co = r["cs"], r["co"]
-            uS = uc[6 * cs:6 * cs + 6, :]                       # self, offset 0
-            uO = shifted(up, uc, un, 6 * co, 6, r["du"])        # other, shifted
-            r2 = shifted(rp, rc, rn, r["ei"], 1, r["dr"])[0]    # [T]
-            S = jnp.float32(np.pi) * r2
-            I = jnp.float32(np.pi / 4.0) * r2 * r2
-            ES, kGS = E_mod * S, (kappa * G_mod) * S
-            GJ, EI = (2.0 * G_mod) * I, E_mod * I
-            if r["side"] == 0:
-                uA, uB = uS, uO
-            else:
-                uA, uB = uO, uS
-            du = uB[:3] - uA[:3]
-            ths = uA[3:] + uB[3:]
-            dth = uB[3:] - uA[3:]
+            def shifted(prev, cur, nxt, row0, nrows, off):
+                """(nrows, T) f32 window at static column offset ``off`` of
+                the logical [.., 3T] neighborhood, without materializing it.
+                Memoized: many edge-sides share the same (class, offset)
+                read (e.g. both endpoints of parallel template edges), and
+                the unaligned column shifts are the kernel's dominant VPU
+                cost."""
+                key = (id(cur), row0, nrows, off)
+                if key in cache:
+                    return cache[key]
+                rs = slice(row0, row0 + nrows)
+                if off == 0:
+                    out = cur[rs, :]
+                elif off > 0:
+                    out = jnp.concatenate([cur[rs, off:], nxt[rs, :off]],
+                                          axis=1)
+                else:
+                    out = jnp.concatenate([prev[rs, T + off:],
+                                           cur[rs, :T + off]], axis=1)
+                out = out.astype(jnp.float32)
+                cache[key] = out
+                return out
 
-            def dot(V, w):
-                return (float(w[0]) * V[0] + float(w[1]) * V[1]
-                        + float(w[2]) * V[2])
+            acc = [jnp.zeros((6, T), jnp.float32) for _ in range(nc)]
+            for r in recs:
+                t, a1, a2, L = r["t"], r["a1"], r["a2"], r["L"]
+                invL = 1.0 / L
+                cs, co = r["cs"], r["co"]
+                uS = shifted(up, uc, un, 6 * cs, 6, 0)           # self
+                uO = shifted(up, uc, un, 6 * co, 6, r["du"])     # other
+                r2 = shifted(rp, rc, rn, r["ei"], 1, r["dr"])[0]  # [T]
+                S = jnp.float32(np.pi) * r2
+                I = jnp.float32(np.pi / 4.0) * r2 * r2
+                ES, kGS = E_mod * S, (kappa * G_mod) * S
+                GJ, EI = (2.0 * G_mod) * I, E_mod * I
+                if r["side"] == 0:
+                    uA, uB = uS, uO
+                else:
+                    uA, uB = uO, uS
+                du = uB[:3] - uA[:3]
+                ths = uA[3:] + uB[3:]
+                dth = uB[3:] - uA[3:]
 
-            e0 = dot(du, t) * invL
-            e1 = dot(du, a1) * invL - dot(ths, a2) * 0.5
-            e2 = dot(du, a2) * invL + dot(ths, a1) * 0.5
-            e3 = dot(dth, t) * invL
-            e4 = dot(dth, a1) * invL
-            e5 = dot(dth, a2) * invL
-            s0, s1, s2 = ES * e0, kGS * e1, kGS * e2
-            s3, s4, s5 = GJ * e3, EI * e4, EI * e5
-            # force rows (3, T): fu = s0 t + s1 a1 + s2 a2 etc., unrolled
-            fu = [float(t[k]) * s0 + float(a1[k]) * s1 + float(a2[k]) * s2
-                  for k in range(3)]
-            msh = [(L * 0.5) * (float(a1[k]) * s2 - float(a2[k]) * s1)
-                   for k in range(3)]
-            mdf = [float(t[k]) * s3 + float(a1[k]) * s4 + float(a2[k]) * s5
-                   for k in range(3)]
-            if r["side"] == 0:   # fA = [-fu, msh - mdf]
-                rows = [-fu[0], -fu[1], -fu[2],
-                        msh[0] - mdf[0], msh[1] - mdf[1], msh[2] - mdf[2]]
-            else:                # fB = [fu, msh + mdf]
-                rows = [fu[0], fu[1], fu[2],
-                        msh[0] + mdf[0], msh[1] + mdf[1], msh[2] + mdf[2]]
-            acc[cs] = acc[cs] + jnp.stack(rows)
-        out_ref[:] = jnp.concatenate(acc, axis=0)
+                def dot(V, w):
+                    return (float(w[0]) * V[0] + float(w[1]) * V[1]
+                            + float(w[2]) * V[2])
+
+                e0 = dot(du, t) * invL
+                e1 = dot(du, a1) * invL - dot(ths, a2) * 0.5
+                e2 = dot(du, a2) * invL + dot(ths, a1) * 0.5
+                e3 = dot(dth, t) * invL
+                e4 = dot(dth, a1) * invL
+                e5 = dot(dth, a2) * invL
+                s0, s1, s2 = ES * e0, kGS * e1, kGS * e2
+                s3, s4, s5 = GJ * e3, EI * e4, EI * e5
+                # force rows (3, T): fu = s0 t + s1 a1 + s2 a2, unrolled
+                fu = [float(t[k]) * s0 + float(a1[k]) * s1
+                      + float(a2[k]) * s2 for k in range(3)]
+                msh = [(L * 0.5) * (float(a1[k]) * s2 - float(a2[k]) * s1)
+                       for k in range(3)]
+                mdf = [float(t[k]) * s3 + float(a1[k]) * s4
+                       + float(a2[k]) * s5 for k in range(3)]
+                if r["side"] == 0:   # fA = [-fu, msh - mdf]
+                    rows = [-fu[0], -fu[1], -fu[2],
+                            msh[0] - mdf[0], msh[1] - mdf[1], msh[2] - mdf[2]]
+                else:                # fB = [fu, msh + mdf]
+                    rows = [fu[0], fu[1], fu[2],
+                            msh[0] + mdf[0], msh[1] + mdf[1], msh[2] + mdf[2]]
+                acc[cs] = acc[cs] + jnp.stack(rows)
+            out_ref[:] = jnp.concatenate(acc, axis=0).astype(io_dtype)
+
+        return kernel
 
     specs_u = [
         pl.BlockSpec((rows_u, T), lambda i: (0, jnp.maximum(i - 1, 0)),
@@ -195,18 +207,23 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
         pl.BlockSpec((n_e, T), lambda i: (0, jnp.minimum(i + 1, nprog - 1)),
                      memory_space=pltpu.VMEM),
     ]
-    call = pl.pallas_call(
-        kernel,
-        grid=(nprog,),
-        in_specs=specs_u + specs_r,
-        out_specs=pl.BlockSpec((rows_u, T), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows_u, Fp), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=110 * len(recs) * F, transcendentals=0,
-            bytes_accessed=4 * (3 * rows_u + 3 * n_e + rows_u) * Fp),
-        interpret=interpret,
-    )
+    def make_call(io_dtype):
+        nbytes = jnp.dtype(io_dtype).itemsize
+        return pl.pallas_call(
+            make_kernel(io_dtype),
+            grid=(nprog,),
+            in_specs=specs_u + specs_r,
+            out_specs=pl.BlockSpec((rows_u, T), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows_u, Fp), io_dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=110 * len(recs) * F, transcendentals=0,
+                bytes_accessed=nbytes * (3 * rows_u + 3 * n_e + rows_u) * Fp),
+            interpret=interpret,
+        )
+
+    call = make_call(jnp.float32)
+    call_lo = make_call(jnp.bfloat16)
 
     def _to_flat(u):
         """[nc, 6, X, Y, Z] -> [nc*6, Fp] ghost-padded flat."""
@@ -248,4 +265,16 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
         return gu, vjp(g)[0]
 
     apply.defvjp(_fwd, _bwd)
+
+    def apply_lo(u_lo, r2f_lo):
+        """bfloat16-I/O matvec: same f32 arithmetic, half the HBM traffic.
+        For the multigrid smoother only (never the outer CG matvec or a
+        differentiated path); inputs/outputs are bf16 [.., Fp] flats /
+        [nc, 6, X, Y, Z] fields."""
+        flat = _to_flat(u_lo)
+        out = call_lo(flat, flat, flat, r2f_lo, r2f_lo, r2f_lo)
+        return _from_flat(out)
+
+    apply.lo = apply_lo
+    apply.prepare_lo = lambda r2f: r2f.astype(jnp.bfloat16)
     return prepare, apply

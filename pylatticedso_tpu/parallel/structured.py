@@ -30,7 +30,8 @@ import numpy as np
 
 from ..catalog import get_beam_structure
 
-__all__ = ["StructuredLattice", "make_structured_compliance_step"]
+__all__ = ["StructuredLattice", "make_structured_compliance_step",
+           "shard_structured_step"]
 
 
 def _class_decomposition(template: np.ndarray):
@@ -522,6 +523,7 @@ def make_structured_compliance_step(slat: StructuredLattice,
             lambda r: _mps(mg_hier, r, power_iters=_power))
 
     step._jitted = vag
+    step._jitted_frozen = vag_frozen
     step._operands = (free, f)
     step.raw = compliance          # (radius_field, free, f, u0) -> (obj, u)
 
@@ -538,3 +540,72 @@ def make_structured_compliance_step(slat: StructuredLattice,
 
     step.batch = step_batch
     return step
+
+
+def shard_structured_step(step, mesh, axis_name: str = "shard",
+                          grid_axis: Optional[int] = None):
+    """Multi-device execution of a structured compliance step by GSPMD.
+
+    Shards the nodal fields ``[nc, 6, X, Y, Z]`` along ONE grid axis over
+    ``mesh[axis_name]`` and lets XLA's SPMD partitioner propagate the
+    sharding through the whole jitted step — pad/shift slices of the
+    stencil become halo exchanges (collective-permutes over ICI on real
+    hardware), CG dot products become psums.  This is the scaling-book
+    recipe (annotate shardings, let XLA insert collectives) rather than a
+    hand-written halo pipeline: the flat static-slice formulation of
+    ``apply_gather`` is exactly the pattern GSPMD partitions well.
+
+    The radius field and multigrid preconditioner state stay replicated
+    (tiny next to the nodal fields; MG coarse levels drop below the
+    device count anyway, where XLA chooses its own layouts).
+
+    ``grid_axis``: 0/1/2 for X/Y/Z; default picks the largest grid axis
+    divisible by the mesh axis size (device_put requires even shards).
+    Parity vs the single-device step is f32 roundoff (different
+    reduction orders).  Returns a function with the same signature as
+    ``step`` (radius_field, u0=None, precond_state=None).
+
+    No reference equivalent: the reference is strictly single-process
+    (MPI always COMM_SELF, utils_simulation.py:39,72,103); this is the
+    TPU-native scale-out of SURVEY.md §5.8.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n_shard = mesh.shape[axis_name]
+    free, f = step._operands
+    grid = tuple(free.shape[2:])
+    if grid_axis is None:
+        cands = [ax for ax in np.argsort(grid)[::-1]
+                 if grid[ax] % n_shard == 0]
+        if not cands:
+            raise ValueError(
+                f"no grid axis of {grid} divisible by {axis_name}={n_shard}; "
+                f"pad the lattice (e.g. nx = k*{n_shard} - 1) or pass "
+                f"grid_axis explicitly")
+        grid_axis = int(cands[0])
+    elif grid[grid_axis] % n_shard != 0:
+        raise ValueError(f"grid axis {grid_axis} of {grid} not divisible "
+                         f"by {axis_name}={n_shard}")
+
+    spec5 = [None] * 5
+    spec5[2 + grid_axis] = axis_name
+    sh5 = NamedSharding(mesh, PartitionSpec(*spec5))
+    rep = NamedSharding(mesh, PartitionSpec())
+    free_s = jax.device_put(free, sh5)
+    f_s = jax.device_put(f, sh5)
+
+    def sharded_step(radius_field, u0=None, precond_state=None):
+        r = jax.device_put(jnp.asarray(radius_field), rep)
+        u0 = jnp.zeros_like(f_s) if u0 is None else u0
+        u0 = jax.device_put(u0, sh5)
+        if precond_state is not None:
+            pstate = jax.device_put(precond_state, rep)
+            (c, u), g = step._jitted_frozen(r, free_s, f_s, u0, pstate)
+        else:
+            (c, u), g = step._jitted(r, free_s, f_s, u0)
+        return c, g, u
+
+    sharded_step.mesh = mesh
+    sharded_step.grid_axis = grid_axis
+    sharded_step.shardings = (sh5, rep)
+    return sharded_step

@@ -115,3 +115,49 @@ def test_chunked_step_matches_fused(setup):
     c3, _g3, _u3, iters3 = step.chunked(r, u, chunk=64)
     assert iters3 <= 64
     np.testing.assert_allclose(float(c3), float(c), rtol=1e-8)
+
+
+def test_structured_step_sharded_parity():
+    """GSPMD-sharded structured stencil step (grid slab per device) must
+    match the single-device step: compliance/gradient to roundoff."""
+    from pylatticedso_tpu.parallel.structured import (
+        StructuredLattice, make_structured_compliance_step,
+        shard_structured_step)
+
+    N = 3                       # X = N+1 = 4 grid points, divisible by 4
+    slat = StructuredLattice("Octet", (N, N, N), (1.0, 1.0, 1.0),
+                             1013.0, 0.3, dtype=jnp.float64)
+    free = slat.select_nodes(lambda x, y, z: z > 1e-9)
+    f = slat.node_field().astype(np.float64)
+    top = slat.select_nodes(lambda x, y, z: z > N - 1e-9)
+    f[:, 2][top] = -0.5
+    step = make_structured_compliance_step(slat, free, f, tol=1e-10,
+                                           maxiter=500, precond="jacobi")
+    r = np.full((N, N, N), 0.05)
+    c0, g0, _u0 = step(r)
+
+    mesh = make_mesh(n_shard=4, n_dp=2)
+    sstep = shard_structured_step(step, mesh)
+    c1, g1, u1 = sstep(r)
+    assert sstep.grid_axis in (0, 1, 2)
+    np.testing.assert_allclose(float(c1), float(c0), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-8, atol=1e-14)
+    # the solution stays sharded across the mesh axis
+    assert "shard" in str(u1.sharding.spec)
+
+
+def test_structured_step_sharded_rejects_indivisible():
+    from pylatticedso_tpu.parallel.structured import (
+        StructuredLattice, make_structured_compliance_step,
+        shard_structured_step)
+
+    slat = StructuredLattice("BCC", (2, 2, 2), (1.0, 1.0, 1.0), 1013.0, 0.3,
+                             dtype=jnp.float64)
+    free = slat.select_nodes(lambda x, y, z: z > 1e-9)
+    f = slat.node_field().astype(np.float64)
+    step = make_structured_compliance_step(slat, free, f, tol=1e-8,
+                                           maxiter=50, precond="jacobi")
+    mesh = make_mesh(n_shard=4, n_dp=2)
+    with pytest.raises(ValueError, match="divisible"):
+        shard_structured_step(step, mesh)
