@@ -15,19 +15,26 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
 import struct
 
 from pylatticedso_tpu import build_lattice
-from pylatticedso_tpu.io.export import write_stl_cylinders, write_stl_rough_wires
+from pylatticedso_tpu.config import load_config
+from pylatticedso_tpu.io.export import (write_stl_cylinders,
+                                        write_stl_rough_wires_pyrough)
 
-lattice = build_lattice({
-    "geometry": {"cell_size": {"x": 200, "y": 200, "z": 200},
-                 "number_of_cells": {"x": 1, "y": 1, "z": 1},
-                 "radii": [20.0], "geom_types": ["BCC"]}})
+# the reference's Pyrough preset pair: the lattice config and the Pyrough
+# parameter file (data/inputs/preset_lattice/Pyrough/{BCC_cell,
+# lattice_wire}.json)
+lattice = build_lattice(load_config("Pyrough/BCC_cell.json"))
 
 out = Path("data/outputs/examples")
 out.mkdir(parents=True, exist_ok=True)
 
-write_stl_rough_wires(out / "BCC_rough.stl", lattice,
-                      eta=0.8, rms=0.06, n_cut=30, m_cut=8,
-                      n_sides=32, n_axial=60, seed=0)
+kw = write_stl_rough_wires_pyrough(
+    out / "BCC_rough.stl", lattice,
+    "data/inputs/preset_lattice/Pyrough/lattice_wire.json",
+    seed=0,
+    # full Pyrough fidelity (N=300 axial modes on 40 rings) needs finer
+    # sampling than the demo budget; cap the surface mesh here
+    n_axial=60, n_sides=32, n_cut=30, m_cut=8)
+print("resolved Pyrough params:", kw)
 write_stl_cylinders(out / "BCC_smooth.stl", lattice, n_sides=32)
 
 for name in ("BCC_rough.stl", "BCC_smooth.stl"):

@@ -19,7 +19,8 @@ import numpy as np
 
 __all__ = ["write_vtu", "write_pvd", "export_simulation_vtu",
            "save_json_to_grasshopper", "write_stl_cylinders",
-           "write_stl_rough_wires", "write_msh_triangles",
+           "write_stl_rough_wires", "write_stl_rough_wires_pyrough",
+           "write_msh_triangles",
            "export_homogenization_surface_msh"]
 
 
@@ -249,6 +250,41 @@ def write_stl_rough_wires(path, lattice, eta: float = 0.8, rms: float = 0.05,
                 tris.append((hi[i], lo[j], hi[j]))
         _append_end_caps(tris, p1, p2, rings[0], rings[-1])
     _write_stl_binary(path, tris)
+
+
+def write_stl_rough_wires_pyrough(path, lattice, pyrough_config,
+                                  **overrides) -> dict:
+    """Config-driven rough-wire STL from a Pyrough parameter JSON.
+
+    Accepts the reference's Pyrough schema
+    (data/inputs/preset_lattice/Pyrough/lattice_wire.json; reference
+    lattice.py:1966-2143 passes it to Pyrough's ``make_wire``):
+    ``cWire`` keys Radius, C1 (RMS roughness amplitude in length units),
+    eta (self-affine exponent), N / M (axial / angular spectral cutoffs).
+    Mesh_size sets the surface discretization (ring spacing along the
+    wire and around it).  Returns the resolved generator kwargs.
+    """
+    import json as _json
+
+    if isinstance(pyrough_config, (str, Path)):
+        with open(pyrough_config) as fh:
+            pyrough_config = _json.load(fh)
+    cw = pyrough_config["cWire"]
+    radius = float(cw.get("Radius", float(np.median(lattice.radius))))
+    mesh = float(cw.get("Mesh_size", radius / 4.0))
+    length = float(cw.get("Length", 1.0))
+    kw = dict(
+        eta=float(cw.get("eta", 0.8)),
+        rms=float(cw.get("C1", 0.05 * radius)) / radius,
+        n_cut=int(cw.get("N", 300)),
+        m_cut=int(cw.get("M", 30)),
+        # ring spacing ~ Mesh_size along and around the wire
+        n_axial=max(8, int(round(length / mesh))),
+        n_sides=max(8, int(round(2 * np.pi * radius / mesh))),
+    )
+    kw.update(overrides)
+    write_stl_rough_wires(path, lattice, **kw)
+    return kw
 
 
 def _append_end_caps(tris, p1, p2, ring_lo, ring_hi) -> None:

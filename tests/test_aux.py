@@ -277,3 +277,24 @@ def test_rough_wire_stl(tmp_path):
     h = _self_affine_height(128, 32, 0.8, 2.5, 30, 8,
                             np.random.default_rng(1))
     assert abs(h.std() - 2.5) < 1e-9
+
+
+def test_rough_wire_pyrough_config(tmp_path):
+    """Pyrough-schema driven rough-wire export (the reference's
+    data/inputs/preset_lattice/Pyrough pair)."""
+    import struct
+    from pylatticedso_tpu import build_lattice
+    from pylatticedso_tpu.config import load_config
+    from pylatticedso_tpu.io.export import write_stl_rough_wires_pyrough
+
+    lat = build_lattice(load_config("Pyrough/BCC_cell.json"))
+    assert lat.num_cells == 1
+    p = tmp_path / "rough.stl"
+    kw = write_stl_rough_wires_pyrough(
+        p, lat, "data/inputs/preset_lattice/Pyrough/lattice_wire.json",
+        n_axial=10, n_sides=12, n_cut=8, m_cut=4)
+    # C1=2 on radius 20 -> rms 0.1 of the radius; cutoffs overridable
+    assert abs(kw["rms"] - 0.1) < 1e-12 and kw["eta"] == 0.8
+    data = p.read_bytes()
+    ntri = struct.unpack("<I", data[80:84])[0]
+    assert len(data) == 84 + 50 * ntri and ntri > 0
