@@ -300,12 +300,39 @@ class OptimizationProblem:
         # raw objective per evaluated point, so the iteration callback can
         # record f(x_k) rather than the last line-search trial's value
         evals: Dict[bytes, float] = {}
+        # best FEASIBLE evaluated point across the whole run (line-search
+        # trials included): SLSQP reports its final ITERATE, which a late
+        # NaN/garbage excursion can leave far above the best design it
+        # already visited (observed on TPU: a free polish descending
+        # 1.27e-3 -> 1.21e-3, then stepping into a surrogate-invalid
+        # corner that evaluates NaN and finishing worse than it started)
+        best = {"v": np.inf, "x": None}
+
+        def _feasible(x) -> bool:
+            if self._density_vg is None:
+                return True
+            spec = self.constraints["relative_density"]
+            d = float(self._density_vg(jnp.asarray(x))[0]) - spec["value"]
+            tol_f = max(spec.get("tolerance", 0.0), 1e-6)
+            mode = spec.get("mode", "upper")
+            return {"upper": d <= tol_f, "lower": d >= -tol_f,
+                    "eq": abs(d) <= tol_f, "band": abs(d) <= tol_f}[mode]
 
         def fun(x):
             v, g = vg(jnp.asarray(x))
             v, g = float(v), np.asarray(g, dtype=float)
+            if not np.isfinite(v) or not np.isfinite(g).all():
+                # a NaN/Inf trial (ill-conditioned extreme design) must be
+                # REJECTED by the line search, not ingested into SLSQP's
+                # internal state: report a large finite value, flat slope
+                evals[np.asarray(x, dtype=float).tobytes()] = float("inf")
+                big = 1e6 * (scale["c0"] or 1.0)
+                return big, np.zeros_like(np.asarray(x, dtype=float))
             scale["last_raw"] = v
             evals[np.asarray(x, dtype=float).tobytes()] = v
+            if v < best["v"] and _feasible(x):
+                best["v"] = v
+                best["x"] = np.asarray(x, dtype=float).copy()
             if normalize_objective:
                 if scale["c0"] is None:
                     scale["c0"] = abs(v) if v != 0 else 1.0
@@ -371,6 +398,15 @@ class OptimizationProblem:
             theta = x
         # res.fun can hold a rejected trial's value; report f(res.x)
         raw_obj = raw_at(theta)
+        # post-select the best feasible evaluated point if the final
+        # iterate is worse (NaN excursions, rejected last steps)
+        if best["x"] is not None and np.isfinite(best["v"]) \
+                and (not np.isfinite(raw_obj) or best["v"] < raw_obj) \
+                and not np.array_equal(best["x"], np.asarray(theta)):
+            if not _feasible(theta) or best["v"] < raw_obj:
+                theta, raw_obj = best["x"], best["v"]
+                message = (str(message)
+                           + "; returned best feasible evaluated point")
         return OptimizationResult(
             theta=theta, radii=np.asarray(self.param.cell_radii(jnp.asarray(theta))),
             objective=raw_obj,
