@@ -39,6 +39,10 @@ from pylatticedso_tpu.opti.ddm_optimizer import DDMOptimizationProblem
 MODE = os.environ.get("INVMECH_MODE", "unit_cell")  # "unit_cell" | "constant"
 GRID_STEP = float(os.environ.get("INVMECH_GRID_STEP", "0.01"))
 MAXIT = int(os.environ.get("INVMECH_MAXIT", "300"))
+# INVMECH_RHO != 0.3 runs an equal-material CONTROL (e.g. 0.304082, the
+# material the reference's committed solution actually uses under our
+# voxel-exact density) and does not overwrite the standard record.
+RHO = float(os.environ.get("INVMECH_RHO", "0.3"))
 
 lattice = build_lattice({
     "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
@@ -63,7 +67,7 @@ t0 = time.time()
 problem = DDMOptimizationProblem(
     lattice,
     opt_params={"type": MODE if MODE == "constant" else "unit_cell"},
-    constraints={"relative_density": {"value": 0.3, "mode": "eq"}},
+    constraints={"relative_density": {"value": RHO, "mode": "eq"}},
     cg_tol=1e-9, cg_maxiter=2000,
     grid_step=GRID_STEP,
     penalization=True,
@@ -79,7 +83,10 @@ if MODE == "constant":
 else:
     result = problem.optimize_slsqp(max_iterations=MAXIT, ftol=1e-7,
                                     feasible_start=True, move_limit=0.1)
-    result = slsqp_polish(problem, result, max_iterations=50, ftol=1e-6)
+    result = slsqp_polish(
+        problem, result, ftol=1e-6,
+        max_iterations=int(os.environ.get("INVMECH_POLISH", "50")),
+        max_restarts=int(os.environ.get("INVMECH_RESTARTS", "6")))
 t_online = time.time() - t0
 print(f"online SLSQP: {t_online:.1f} s, {result.iterations} iterations "
       f"(success {result.success})")
@@ -90,6 +97,9 @@ print(f"TOTAL {t_offline + t_online:.1f} s (reference {MODE} record: {ref})")
 
 out = Path("data/outputs/optimization_data_files")
 out.mkdir(parents=True, exist_ok=True)
-name = ("Inversion_mechanism_constant.json" if MODE == "constant"
-        else "Inversion_mechanism_optimized.json")
-problem.save_optimization_json(out / name, result)
+if RHO == 0.3:
+    name = ("Inversion_mechanism_constant.json" if MODE == "constant"
+            else "Inversion_mechanism_optimized.json")
+    problem.save_optimization_json(out / name, result)
+else:
+    print(f"equal-material control (rho {RHO}): record not saved")

@@ -92,7 +92,10 @@ else:
     result = problem.optimize_slsqp(max_iterations=MAXIT, ftol=1e-7,
                                     feasible_start=True, move_limit=0.1)
     from pylatticedso_tpu.opti import slsqp_polish
-    result = slsqp_polish(problem, result, max_iterations=50, ftol=1e-6)
+    result = slsqp_polish(
+        problem, result, ftol=1e-6,
+        max_iterations=int(os.environ.get("TPB_POLISH", "50")),
+        max_restarts=int(os.environ.get("TPB_RESTARTS", "4")))
 t_online = time.time() - t0
 print(f"online SLSQP: {t_online:.1f} s, {result.iterations} iterations "
       f"(success {result.success})")

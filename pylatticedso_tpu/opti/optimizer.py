@@ -277,6 +277,45 @@ class OptimizationProblem:
             s = brentq(rho, lo, hi, xtol=1e-9)
         return np.clip(x0 + s, self.param.lower, self.param.upper)
 
+    def project_density(self, x) -> np.ndarray:
+        """Uniform-shift feasibility restoration: shift all parameters by
+        the scalar s that puts the density back on the constraint surface
+        (density is monotone in a uniform radius shift).  SLSQP's final
+        iterate routinely sits 1e-5..1e-4 OVER an active upper density
+        bound (its internal constraint tolerance); restoring feasibility
+        costs a roundoff-level objective change and makes results
+        comparable like-for-like at the advertised budget."""
+        x = np.asarray(x, dtype=float)
+        if self._density_vg is None:
+            return x
+        spec = self.constraints["relative_density"]
+        target, mode = spec["value"], spec.get("mode", "upper")
+        band = max(spec.get("tolerance", 0.0), 1e-6)
+        rho = lambda s: float(self._density_vg(
+            jnp.clip(jnp.asarray(x + s), self.param.lower,
+                     self.param.upper))[0]) - target
+        r0 = rho(0.0)
+        if ((mode == "upper" and r0 <= 1e-6) or (mode == "lower" and r0 >= -1e-6)
+                or (mode in ("eq", "band") and abs(r0) <= band)):
+            return x
+        from scipy.optimize import brentq
+        lo, hi = (-2.0, 0.0) if r0 > 0 else (0.0, 2.0)
+        r_far = rho(lo if r0 > 0 else hi)
+        if np.sign(r_far) == np.sign(r0):
+            return np.clip(x + (lo if r0 > 0 else hi),
+                           self.param.lower, self.param.upper)
+        s = brentq(rho, lo, hi, xtol=1e-12)
+        # land on the FEASIBLE side of the surface for inequality modes
+        nudge = {"upper": -1e-9, "lower": 1e-9}.get(mode, 0.0)
+        for _ in range(40):
+            if ((mode == "upper" and rho(s) <= 0)
+                    or (mode == "lower" and rho(s) >= 0)
+                    or mode in ("eq", "band")):
+                break
+            s += nudge
+            nudge *= 2.0
+        return np.clip(x + s, self.param.lower, self.param.upper)
+
     def optimize_slsqp(self, max_iterations: int = 20, ftol: float = 1e-9,
                        normalize_objective: bool = True,
                        feasible_start: bool = False,
@@ -398,15 +437,30 @@ class OptimizationProblem:
             theta = x
         # res.fun can hold a rejected trial's value; report f(res.x)
         raw_obj = raw_at(theta)
-        # post-select the best feasible evaluated point if the final
-        # iterate is worse (NaN excursions, rejected last steps)
-        if best["x"] is not None and np.isfinite(best["v"]) \
-                and (not np.isfinite(raw_obj) or best["v"] < raw_obj) \
-                and not np.array_equal(best["x"], np.asarray(theta)):
-            if not _feasible(theta) or best["v"] < raw_obj:
-                theta, raw_obj = best["x"], best["v"]
-                message = (str(message)
-                           + "; returned best feasible evaluated point")
+        # Final-point selection among FEASIBLE candidates: (a) the final
+        # iterate (restored onto the density surface when SLSQP left it
+        # slightly over — its internal constraint tolerance is looser than
+        # ours), (b) the best feasible point evaluated anywhere in the run
+        # (line-search trials included — a late NaN/garbage excursion can
+        # leave the final iterate above designs already visited).
+        theta = np.asarray(theta, dtype=float)
+        cands = []
+        if np.isfinite(raw_obj) and _feasible(theta):
+            cands.append((raw_obj, theta, ""))
+        elif np.isfinite(raw_obj):
+            proj = self.project_density(theta)
+            vproj = float(vg(jnp.asarray(proj))[0])
+            if np.isfinite(vproj) and _feasible(proj):
+                evals[proj.tobytes()] = vproj
+                cands.append((vproj, proj, "; density-restored final point"))
+        if best["x"] is not None and np.isfinite(best["v"]):
+            cands.append((best["v"], best["x"],
+                          "; returned best feasible evaluated point"))
+        if cands:
+            vb, xb, note = min(cands, key=lambda c: c[0])
+            if not (np.array_equal(xb, theta) and vb == raw_obj):
+                theta, raw_obj = xb, vb
+                message = str(message) + note
         return OptimizationResult(
             theta=theta, radii=np.asarray(self.param.cell_radii(jnp.asarray(theta))),
             objective=raw_obj,

@@ -77,21 +77,35 @@ def pallas_supported(slat, min_points: int = 0) -> bool:
 
 
 def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
-                       tile: int = 3072, interpret: bool = False):
+                       tile: int = 3072, interpret: bool = False,
+                       align8: Optional[bool] = None):
     """Fused-stencil (prepare, apply) pair for a StructuredLattice.
 
     ``xla_prepare``/``xla_apply`` are the existing gather-form callables;
     prepare is reused (it runs once per solve), and apply supplies the
     r^2-cotangent VJP.
+
+    ``align8`` pads each class's 6 DOF rows to 8 in the kernel's input
+    layout so every class-row window starts on a vreg sublane boundary
+    (TPU vregs are (8, 128)): unaligned 6-row slices force a sublane
+    relayout on every downstream op.  +33% u-read HBM traffic — the
+    kernel is VPU-bound, so the trade can win.  Default: the
+    PLDSO_PALLAS_ALIGN8 env var.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    import os as _os
+
+    if align8 is None:
+        align8 = _os.environ.get("PLDSO_PALLAS_ALIGN8") == "1"
 
     X, Y, Z = slat.grid
     Xp, Yp, Zp = X + 2, Y + 2, Z + 2
     F = Xp * Yp * Zp
     nc = slat.nc
     n_e = len(slat.edges)
+    row_stride = 8 if align8 else 6
+    rows_in = nc * row_stride
     rows_u = nc * 6
     recs = _edge_sides(slat, Yp, Zp)
     H = max(abs(r["du"]) for r in recs + [dict(du=r2["dr"]) for r2 in recs])
@@ -148,8 +162,8 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
                 t, a1, a2, L = r["t"], r["a1"], r["a2"], r["L"]
                 invL = 1.0 / L
                 cs, co = r["cs"], r["co"]
-                uS = shifted(up, uc, un, 6 * cs, 6, 0)           # self
-                uO = shifted(up, uc, un, 6 * co, 6, r["du"])     # other
+                uS = shifted(up, uc, un, row_stride * cs, 6, 0)   # self
+                uO = shifted(up, uc, un, row_stride * co, 6, r["du"])
                 r2 = shifted(rp, rc, rn, r["ei"], 1, r["dr"])[0]  # [T]
                 S = jnp.float32(np.pi) * r2
                 I = jnp.float32(np.pi / 4.0) * r2 * r2
@@ -194,10 +208,10 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
         return kernel
 
     specs_u = [
-        pl.BlockSpec((rows_u, T), lambda i: (0, jnp.maximum(i - 1, 0)),
+        pl.BlockSpec((rows_in, T), lambda i: (0, jnp.maximum(i - 1, 0)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((rows_u, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((rows_u, T), lambda i: (0, jnp.minimum(i + 1, nprog - 1)),
+        pl.BlockSpec((rows_in, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_in, T), lambda i: (0, jnp.minimum(i + 1, nprog - 1)),
                      memory_space=pltpu.VMEM),
     ]
     specs_r = [
@@ -218,7 +232,7 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
             out_shape=jax.ShapeDtypeStruct((rows_u, Fp), io_dtype),
             cost_estimate=pl.CostEstimate(
                 flops=110 * len(recs) * F, transcendentals=0,
-                bytes_accessed=nbytes * (3 * rows_u + 3 * n_e + rows_u) * Fp),
+                bytes_accessed=nbytes * (3 * rows_in + 3 * n_e + rows_u) * Fp),
             interpret=interpret,
         )
 
@@ -226,9 +240,10 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
     call_lo = make_call(jnp.bfloat16)
 
     def _to_flat(u):
-        """[nc, 6, X, Y, Z] -> [nc*6, Fp] ghost-padded flat."""
-        up = jnp.pad(u, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
-        flat = up.reshape(rows_u, F)
+        """[nc, 6, X, Y, Z] -> [nc*row_stride, Fp] ghost-padded flat."""
+        up = jnp.pad(u, ((0, 0), (0, row_stride - 6), (0, 0), (0, 0), (0, 0)))
+        up = jnp.pad(up, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
+        flat = up.reshape(rows_in, F)
         return jnp.pad(flat, ((0, 0), (0, Fp - F)))
 
     def _from_flat(flat):
