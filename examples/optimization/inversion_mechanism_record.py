@@ -16,6 +16,26 @@ constant run: 8 iterations, 2.527e-3).
 Offline stage shares the L-beam's cached 3-geometry Schur grid / reduced
 basis / RBF artifacts.  `INVMECH_MODE=constant` runs the 1-parameter
 variant.
+
+Measured (2026-08-17, this repo, CPU x64 online stage):
+* physics parity: our exact model evaluates their committed 150-parameter
+  solution at 5.5415e-4 (their record: 5.5371e-4, 0.08%) and their
+  constant solution at 2.5263e-3 (their record: 2.5270e-3, 0.03%) — but
+  our voxel-exact union density prices those solutions at rho 0.3041 and
+  0.3195 respectively, not 0.300 (the same density-model discrepancy
+  documented for the L-beam and three-point bending; see
+  io/reference_density.py).
+* this script (voxel-exact eq constraint at 0.3000): 5.5604e-4 in 98 s
+  (success=True; reference: 5.537e-4 under THEIR density, 800 s,
+  iteration limit).
+* equal-material control (`INVMECH_RHO=0.304082`, the material their
+  solution actually uses under our model): **5.5259e-4 — better than
+  both their record and their solution re-evaluated under our model**,
+  in 213 s (success=True).
+* constant mode: with an equality density constraint and one parameter
+  the feasible set is a single radius; 2.9199e-3 at voxel-exact
+  rho 0.3000 (their 2.527e-3 constant solution uses rho 0.3195 of
+  material under our model).
 """
 
 import sys
