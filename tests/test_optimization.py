@@ -191,3 +191,26 @@ def test_density_dataset_resume_and_outliers(tmp_path):
     corrupted = dict(ds2); corrupted[(0.06,)] = 5.0
     clean = filter_outliers(corrupted, n_neighbors=2)
     assert (0.06,) not in clean and len(clean) == 3
+
+
+def test_project_density_restores_feasibility():
+    """Uniform-shift feasibility restoration (optimize_slsqp returns only
+    density-feasible points; SLSQP's own constraint tolerance lets its
+    final iterate sit ~1e-5 over an active bound)."""
+    lat = cantilever(3)
+    prob = OptimizationProblem(lat, opt_params={"type": "unit_cell"},
+                               constraints={"relative_density": {
+                                   "value": 0.08, "mode": "upper"}},
+                               cg_tol=1e-11, cg_maxiter=3000)
+    # a deliberately over-budget point
+    x = np.full(prob.param.n_params, 0.8)
+    assert prob.density(x) > 0.08
+    xp = prob.project_density(x)
+    assert prob.density(xp) <= 0.08 + 1e-9
+    # projection is a pure uniform shift (all components move equally,
+    # up to bound clipping)
+    d = x - xp
+    np.testing.assert_allclose(d, d[0], rtol=0, atol=1e-12)
+    # feasible points are untouched
+    xf = np.full(prob.param.n_params, 0.05)
+    np.testing.assert_array_equal(prob.project_density(xf), xf)

@@ -29,7 +29,14 @@ def test_preset_library_is_populated():
 
 @pytest.mark.parametrize("path", PRESETS, ids=lambda p: f"{p.parent.name}/{p.stem}")
 def test_preset_loads(path):
-    cfg = load_config(json.loads(path.read_text()))
+    data = json.loads(path.read_text())
+    if "geometry" not in data:
+        # Pyrough/lattice_wire.json is a Pyrough PARAMETER file (wire
+        # roughness schema), consumed by write_stl_rough_wires_pyrough —
+        # in the reference too it is read by Pyrough, not the lattice
+        # config loader.
+        pytest.skip("non-lattice parameter preset")
+    cfg = load_config(data)
     assert cfg.n_geom == len(cfg.radii)
 
 
