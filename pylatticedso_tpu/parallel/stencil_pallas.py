@@ -177,9 +177,33 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
                 ths = uA[3:] + uB[3:]
                 dth = uB[3:] - uA[3:]
 
+                # frame components are trace-time Python floats and MANY
+                # are exactly zero (octet edges: t has 2 nonzeros, a2
+                # often 1) — skip zero terms HERE; Mosaic does not fold
+                # 0.0 * vector, so each skipped term is a real VPU op
                 def dot(V, w):
-                    return (float(w[0]) * V[0] + float(w[1]) * V[1]
-                            + float(w[2]) * V[2])
+                    acc_ = None
+                    for k in range(3):
+                        c = float(w[k])
+                        if c == 0.0:
+                            continue
+                        term = V[k] if c == 1.0 else c * V[k]
+                        acc_ = term if acc_ is None else acc_ + term
+                    return 0.0 if acc_ is None else acc_
+
+                def axpy3(ws_cs):
+                    """[sum_j c_j[k] * s_j for k in 0..2] skipping zeros."""
+                    out = []
+                    for k in range(3):
+                        acc_ = None
+                        for w, s in ws_cs:
+                            c = float(w[k])
+                            if c == 0.0:
+                                continue
+                            term = s if c == 1.0 else c * s
+                            acc_ = term if acc_ is None else acc_ + term
+                        out.append(0.0 if acc_ is None else acc_)
+                    return out
 
                 e0 = dot(du, t) * invL
                 e1 = dot(du, a1) * invL - dot(ths, a2) * 0.5
@@ -190,18 +214,19 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
                 s0, s1, s2 = ES * e0, kGS * e1, kGS * e2
                 s3, s4, s5 = GJ * e3, EI * e4, EI * e5
                 # force rows (3, T): fu = s0 t + s1 a1 + s2 a2, unrolled
-                fu = [float(t[k]) * s0 + float(a1[k]) * s1
-                      + float(a2[k]) * s2 for k in range(3)]
-                msh = [(L * 0.5) * (float(a1[k]) * s2 - float(a2[k]) * s1)
-                       for k in range(3)]
-                mdf = [float(t[k]) * s3 + float(a1[k]) * s4
-                       + float(a2[k]) * s5 for k in range(3)]
+                fu = axpy3([(t, s0), (a1, s1), (a2, s2)])
+                msh_raw = axpy3([(a1, s2), (a2, -1.0 * s1)])
+                msh = [(L * 0.5) * m if not isinstance(m, float) else 0.0
+                       for m in msh_raw]
+                mdf = axpy3([(t, s3), (a1, s4), (a2, s5)])
                 if r["side"] == 0:   # fA = [-fu, msh - mdf]
                     rows = [-fu[0], -fu[1], -fu[2],
                             msh[0] - mdf[0], msh[1] - mdf[1], msh[2] - mdf[2]]
                 else:                # fB = [fu, msh + mdf]
                     rows = [fu[0], fu[1], fu[2],
                             msh[0] + mdf[0], msh[1] + mdf[1], msh[2] + mdf[2]]
+                rows = [jnp.zeros((T,), jnp.float32)
+                        if isinstance(q, float) else q for q in rows]
                 acc[cs] = acc[cs] + jnp.stack(rows)
             out_ref[:] = jnp.concatenate(acc, axis=0).astype(io_dtype)
 
