@@ -39,7 +39,7 @@ of the adjoint solve), not once per CG iteration, so its cost is noise.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, List, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -98,6 +98,70 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
 
     if align8 is None:
         align8 = _os.environ.get("PLDSO_PALLAS_ALIGN8") == "1"
+    dense = _os.environ.get("PLDSO_PALLAS_DENSE") == "1"
+
+    def _pack_dense_coefs(recs, E_mod, G_mod, kappa):
+        """Constant (8, NCOLS) coefficient table for the dense kernel form.
+
+        Pallas kernels cannot capture constant ARRAYS, so every (6,)
+        matrix column of the per-record E = A2 @ [d; p3] and
+        rows = B_side @ S contractions is packed column-wise into one
+        small VMEM operand (column j = table[:6, j]); all-zero columns
+        are skipped at pack time.  Columns 0/1 hold the stiffness
+        monomial coefficients K = r2*colA + r2^2*colB.
+        """
+        cols = []
+
+        def add(col):
+            if all(c == 0.0 for c in col):
+                return None
+            cols.append([float(c) for c in col] + [0.0, 0.0])
+            return len(cols) - 1
+
+        add([np.pi * E_mod, np.pi * kappa * G_mod, np.pi * kappa * G_mod,
+             0.0, 0.0, 0.0])                                    # idx 0
+        add([0.0, 0.0, 0.0, np.pi / 2.0 * G_mod,
+             np.pi / 4.0 * E_mod, np.pi / 4.0 * E_mod])          # idx 1
+        for r in recs:
+            t, a1, a2, L = r["t"], r["a1"], r["a2"], r["L"]
+            invL = 1.0 / L
+            a_cols = []
+            for k in range(3):
+                j = add([t[k] * invL, a1[k] * invL, a2[k] * invL,
+                         0.0, 0.0, 0.0])
+                if j is not None:
+                    a_cols.append(("d", k, j))
+            for k in range(3):
+                j = add([0.0, 0.0, 0.0, t[k] * invL, a1[k] * invL,
+                         a2[k] * invL])
+                if j is not None:
+                    a_cols.append(("d", 3 + k, j))
+            for k in range(3):
+                j = add([0.0, -0.5 * a2[k], 0.5 * a1[k], 0.0, 0.0, 0.0])
+                if j is not None:
+                    a_cols.append(("p", k, j))
+            sgn = -1.0 if r["side"] == 0 else 1.0
+            half_L = 0.5 * L
+            b_defs = [
+                (0, [sgn * t[0], sgn * t[1], sgn * t[2], 0.0, 0.0, 0.0]),
+                (1, [sgn * a1[0], sgn * a1[1], sgn * a1[2],
+                     -half_L * a2[0], -half_L * a2[1], -half_L * a2[2]]),
+                (2, [sgn * a2[0], sgn * a2[1], sgn * a2[2],
+                     half_L * a1[0], half_L * a1[1], half_L * a1[2]]),
+                (3, [0.0, 0.0, 0.0, sgn * t[0], sgn * t[1], sgn * t[2]]),
+                (4, [0.0, 0.0, 0.0, sgn * a1[0], sgn * a1[1], sgn * a1[2]]),
+                (5, [0.0, 0.0, 0.0, sgn * a2[0], sgn * a2[1], sgn * a2[2]]),
+            ]
+            b_cols = []
+            for srow, col in b_defs:
+                j = add(col)
+                if j is not None:
+                    b_cols.append((srow, j))
+            r["dense_a"], r["dense_b"] = a_cols, b_cols
+        table = np.zeros((8, max(len(cols), 1)), dtype=np.float32)
+        for j, col in enumerate(cols):
+            table[:, j] = col
+        return table
 
     X, Y, Z = slat.grid
     Xp, Yp, Zp = X + 2, Y + 2, Z + 2
@@ -124,6 +188,11 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
     if dt != jnp.float32:
         raise ValueError("pallas stencil matvec is float32-only")
 
+    coef_np = (_pack_dense_coefs(recs, E_mod, G_mod, kappa) if dense
+               else np.zeros((8, 1), dtype=np.float32))
+    coefs_dev = jnp.asarray(coef_np)
+    n_coef = coef_np.shape[1]
+
     def make_kernel(io_dtype):
         """Kernel body; loads upcast ``io_dtype`` -> f32 (all arithmetic
         stays f32), output downcast to ``io_dtype``.  bf16 I/O halves the
@@ -131,7 +200,7 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
         (the preconditioner is any fixed operator; the outer CG matvec
         stays f32)."""
 
-        def kernel(up, uc, un, rp, rc, rn, out_ref):
+        def kernel(up, uc, un, rp, rc, rn, coefs, out_ref):
             cache = {}
 
             def shifted(prev, cur, nxt, row0, nrows, off):
@@ -157,6 +226,30 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
                 cache[key] = out
                 return out
 
+            def coef_col(j):
+                return coefs[0:6, j:j + 1]        # (6, 1) sublane slice
+
+            def stiffness_rows(r2, key):
+                """K (6, T): [ES, kGS, kGS, GJ, EI, EI] from r^2, built as
+                two column-broadcast FMAs (coef table columns 0/1);
+                memoized per distinct r-window."""
+                ck = ("K",) + key
+                if ck in cache:
+                    return cache[ck]
+                K = r2[None, :] * coef_col(0) + (r2 * r2)[None, :] * coef_col(1)
+                cache[ck] = K
+                return K
+
+            def col_accum(terms):
+                """sum_j row_j[None, :] * table_col_j — (6, T)-dense
+                broadcast-FMA form of a constant (6 x k) matmul (all-zero
+                columns were dropped at pack time)."""
+                out = None
+                for row, j in terms:
+                    term = row[None, :] * coef_col(j)
+                    out = term if out is None else out + term
+                return out
+
             acc = [jnp.zeros((6, T), jnp.float32) for _ in range(nc)]
             for r in recs:
                 t, a1, a2, L = r["t"], r["a1"], r["a2"], r["L"]
@@ -165,14 +258,33 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
                 uS = shifted(up, uc, un, row_stride * cs, 6, 0)   # self
                 uO = shifted(up, uc, un, row_stride * co, 6, r["du"])
                 r2 = shifted(rp, rc, rn, r["ei"], 1, r["dr"])[0]  # [T]
-                S = jnp.float32(np.pi) * r2
-                I = jnp.float32(np.pi / 4.0) * r2 * r2
-                ES, kGS = E_mod * S, (kappa * G_mod) * S
-                GJ, EI = (2.0 * G_mod) * I, E_mod * I
                 if r["side"] == 0:
                     uA, uB = uS, uO
                 else:
                     uA, uB = uO, uS
+
+                if dense:
+                    # (6, T)-dense formulation: E = A2 @ [d; p3],
+                    # rows = B_side @ (K * E) — every op is a (6, T)
+                    # broadcast-FMA instead of a chain of (T,)-shaped
+                    # rank-1 ops (Mosaic lays (T,) as (1, T): one sublane
+                    # of 8 — 1/8 VPU density).  Matrix columns come from
+                    # the packed coefficient table (trace-time indices).
+                    K = stiffness_rows(r2, (r["ei"], r["dr"]))
+                    d = uB - uA                       # (6, T)
+                    p3 = uA[3:] + uB[3:]              # (3, T)
+                    E = col_accum(
+                        [(d[k] if src == "d" else p3[k], j)
+                         for (src, k, j) in r["dense_a"]])
+                    Sd = K * E                        # (6, T) internal forces
+                    acc[cs] = acc[cs] + col_accum(
+                        [(Sd[srow], j) for (srow, j) in r["dense_b"]])
+                    continue
+
+                S = jnp.float32(np.pi) * r2
+                I = jnp.float32(np.pi / 4.0) * r2 * r2
+                ES, kGS = E_mod * S, (kappa * G_mod) * S
+                GJ, EI = (2.0 * G_mod) * I, E_mod * I
                 du = uB[:3] - uA[:3]
                 ths = uA[3:] + uB[3:]
                 dth = uB[3:] - uA[3:]
@@ -246,12 +358,15 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
         pl.BlockSpec((n_e, T), lambda i: (0, jnp.minimum(i + 1, nprog - 1)),
                      memory_space=pltpu.VMEM),
     ]
+    spec_coef = [pl.BlockSpec((8, n_coef), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)]
+
     def make_call(io_dtype):
         nbytes = jnp.dtype(io_dtype).itemsize
         return pl.pallas_call(
             make_kernel(io_dtype),
             grid=(nprog,),
-            in_specs=specs_u + specs_r,
+            in_specs=specs_u + specs_r + spec_coef,
             out_specs=pl.BlockSpec((rows_u, T), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((rows_u, Fp), io_dtype),
@@ -284,7 +399,7 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
 
     def _raw_apply(u, r2f):
         flat = _to_flat(u)
-        out = call(flat, flat, flat, r2f, r2f, r2f)
+        out = call(flat, flat, flat, r2f, r2f, r2f, coefs_dev)
         return _from_flat(out)
 
     def _xla_apply_from_flat(u, r2f):
@@ -312,7 +427,7 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
         differentiated path); inputs/outputs are bf16 [.., Fp] flats /
         [nc, 6, X, Y, Z] fields."""
         flat = _to_flat(u_lo)
-        out = call_lo(flat, flat, flat, r2f_lo, r2f_lo, r2f_lo)
+        out = call_lo(flat, flat, flat, r2f_lo, r2f_lo, r2f_lo, coefs_dev)
         return _from_flat(out)
 
     apply.lo = apply_lo
