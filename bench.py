@@ -181,14 +181,23 @@ def main():
     # failure we wait for a trivial health probe to pass before continuing
     import subprocess
 
-    def wait_healthy(max_wait=600):
+    def wait_healthy(max_wait=None):
+        if max_wait is None:
+            max_wait = int(os.environ.get("BENCH_HEALTH_WAIT", "600"))
         probe = ("import jax, jax.numpy as jnp; "
                  "x = jnp.ones((64, 64)); print(float((x @ x).sum()))")
         t0 = time.time()
         while time.time() - t0 < max_wait:
-            p = subprocess.run([sys.executable, "-c", probe],
-                               capture_output=True, text=True, timeout=180)
-            if p.returncode == 0:
+            try:
+                p = subprocess.run([sys.executable, "-c", probe],
+                                   capture_output=True, text=True,
+                                   timeout=180)
+                ok = p.returncode == 0
+            except subprocess.TimeoutExpired:
+                # a wedged tunnel HANGS the probe (it does not error):
+                # treat like any other failure and keep waiting
+                ok = False
+            if ok:
                 return True
             time.sleep(30)
         return False
