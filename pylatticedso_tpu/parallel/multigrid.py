@@ -136,12 +136,19 @@ def make_radius_restrictor(valid: np.ndarray):
     w_j = jnp.asarray(w)
     cnt_j = jnp.asarray(cnt)
 
-    def restrict_radius(r):
+    def _restrict3(r):
         p = jnp.zeros((2 * cx, 2 * cy, 2 * cz), r.dtype)
         p = p.at[:nx, :ny, :nz].set(r)
         p = p * w_j.astype(r.dtype)
         s = p.reshape(cx, 2, cy, 2, cz, 2).sum(axis=(1, 3, 5))
         return 2.0 * s / cnt_j.astype(r.dtype)
+
+    def restrict_radius(r):
+        # hybrid lattices carry one radius field per superposed geometry
+        # ([n_geom, Nx, Ny, Nz]): restrict each geometry independently
+        if r.ndim == 4:
+            return jax.vmap(_restrict3)(r)
+        return _restrict3(r)
 
     return restrict_radius
 

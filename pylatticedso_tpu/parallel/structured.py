@@ -34,13 +34,54 @@ __all__ = ["StructuredLattice", "make_structured_compliance_step",
            "shard_structured_step"]
 
 
-def _class_decomposition(template: np.ndarray):
+def _split_template_collisions(templates, tol: float = 1e-9):
+    """Split template beams at other template points lying strictly inside
+    them (colinear, 0 < t < 1) — the builder's hybrid collision rule
+    applied once at TEMPLATE level (design/lattice.py:
+    _split_hybrid_collisions; reference check_hybrid_collision,
+    lattice.py:1111-1216).  Superposition is identical in every cell, so
+    one template split reproduces the per-cell splitting globally; split
+    points are other geometries' nodes, so the class set is unchanged."""
+    pts = np.unique(np.round(np.concatenate(
+        [t.reshape(-1, 3) for t in templates]), 9), axis=0)
+    out = []
+    for tpl in templates:
+        segs = []
+        for beam in tpl:
+            p1, p2 = beam[:3], beam[3:]
+            v = p2 - p1
+            L2 = float(v @ v)
+            w = pts - p1
+            cr = np.cross(np.broadcast_to(v, pts.shape), w)
+            colinear = (cr * cr).sum(1) <= (tol * np.sqrt(max(L2, 1e-300))) ** 2
+            t = (w @ v) / max(L2, 1e-300)
+            interior = colinear & (t > 1e-12) & (t < 1.0 - 1e-12)
+            chain = ([p1] + [p1 + tt * v for tt in np.sort(t[interior])]
+                     + [p2])
+            for a, b in zip(chain[:-1], chain[1:]):
+                segs.append(np.concatenate([a, b]))
+        out.append(np.asarray(segs))
+    return out
+
+
+def _class_decomposition(templates):
     """Template beams -> node classes + normalized template edges.
 
+    ``templates``: one [n_beams, 2, 3] array per geometry.  Hybrid lattices
+    SUPERPOSE every geometry's beams in every cell, each geometry carrying
+    its own per-cell radius (the reference's multi-``geom_types`` build,
+    lattice.py); classes are merged across geometries by their 9-digit
+    fractional key and template edges by their canonical (class, offset)
+    form, with each creator tagged by its source geometry.
+
     Returns (class_keys [nc,3], edges: list of dicts with class ids, offset,
-    endpoint fractional positions).
+    endpoint fractional positions, creator (shift, geometry) pairs).
     """
-    pts = template.reshape(-1, 3)
+    pts_all, geom_of_beam = [], []
+    for gi, template in enumerate(templates):
+        pts_all.append(template.reshape(-1, 3))
+        geom_of_beam.extend([gi] * len(template))
+    pts = np.concatenate(pts_all)
     offs = np.floor(pts + 1e-12).astype(np.int64)          # 1.0 -> next cell
     keys = np.round(pts - offs, 9)
     uniq, inv = np.unique(keys, axis=0, return_inverse=True)
@@ -52,8 +93,9 @@ def _class_decomposition(template: np.ndarray):
         class_offsets[int(inv[i])].add(tuple(offs[i].tolist()))
 
     edges = {}
-    for b in range(len(template)):
+    for b in range(len(pts) // 2):
         ia, ib = 2 * b, 2 * b + 1
+        gi = geom_of_beam[b]
         ca, cb = int(inv[ia]), int(inv[ib])
         oa, ob = offs[ia], offs[ib]
         # canonical form: shift both offsets by their componentwise min (the
@@ -72,16 +114,23 @@ def _class_decomposition(template: np.ndarray):
                 "fb": np.asarray(ob2) + kb,
                 "shifts": set(),
             }
-        # an instance at anchor g is created by cell g - s
-        edges[canon]["shifts"].add(tuple(s.tolist()))
+        # an instance at anchor g is created by cell g - s (of geometry gi)
+        edges[canon]["shifts"].add(tuple(s.tolist()) + (gi,))
     return uniq, list(edges.values()), class_offsets
 
 
 @dataclass
 class StructuredLattice:
-    """Class-grid representation of a uniform lattice."""
+    """Class-grid representation of a uniform lattice.
 
-    geom: str
+    ``geom`` may be one geometry name or a sequence of names: a HYBRID
+    lattice superposes every geometry's beams in every cell (the
+    reference's multi-``geom_types`` build), and the radius argument of
+    the operators then accepts an extra leading geometry axis
+    ([n_geom, Nx, Ny, Nz]; lower-rank radii broadcast to all geometries).
+    """
+
+    geom: object                               # str | Sequence[str]
     num_cells: Tuple[int, int, int]
     cell_size: Tuple[float, float, float]
     E_mod: float
@@ -91,8 +140,13 @@ class StructuredLattice:
     cell_valid: Optional[np.ndarray] = None   # [Nx,Ny,Nz] bool (erasure)
 
     def __post_init__(self):
-        tpl = get_beam_structure(self.geom)
-        self.class_keys, self.edges, class_offsets = _class_decomposition(tpl)
+        self.geoms = ([self.geom] if isinstance(self.geom, str)
+                      else list(self.geom))
+        self.n_geom = len(self.geoms)
+        tpls = [get_beam_structure(g) for g in self.geoms]
+        if self.n_geom > 1:
+            tpls = _split_template_collisions(tpls)
+        self.class_keys, self.edges, class_offsets = _class_decomposition(tpls)
         self.nc = len(self.class_keys)
         nx, ny, nz = self.num_cells
         self.grid = (nx + 1, ny + 1, nz + 1)
@@ -117,9 +171,13 @@ class StructuredLattice:
             ext = (nx + 1 - m[0], ny + 1 - m[1], nz + 1 - m[2])
             e["ext"] = ext
             # creator priority: the reference's first-wins dedup keeps the
-            # earliest-generated creating cell = smallest index = largest s
-            shifts = sorted(e["shifts"])           # increasing; later = higher priority
-            e["creators"] = shifts
+            # earliest-generated creating cell = smallest index = largest s;
+            # within one cell, geometries generate in geom_types order, so
+            # the SMALLEST geometry index wins.  Iteration order below is
+            # lowest-priority FIRST (later entries overwrite).
+            shifts = sorted(e["shifts"],
+                            key=lambda p: (p[:3], -p[3]))
+            e["creators"] = shifts                 # (sx, sy, sz, gi) tuples
             inst = np.zeros(ext, dtype=bool)
             for s in shifts:
                 sl = tuple(slice(1 - s[ax], 1 - s[ax] + ext[ax]) for ax in range(3))
@@ -190,18 +248,25 @@ class StructuredLattice:
 
         def _sections(radius):
             """Per-edge per-instance r^2 from the padded per-cell field,
-            first-creating cell winning for shared beams."""
-            r = jnp.asarray(radius, dt) * jnp.ones((nx, ny, nz), dt)
-            rp = jnp.zeros((nx + 2, ny + 2, nz + 2), dt)
-            rp = rp.at[1:nx + 1, 1:ny + 1, 1:nz + 1].set(
-                r * jnp.asarray(self.cell_valid, dt))
+            first-creating cell winning for shared beams.  ``radius``:
+            scalar / [Nx,Ny,Nz] (broadcast to all geometries) or
+            [n_geom, Nx, Ny, Nz] (hybrid: one radius field per superposed
+            geometry)."""
+            r = jnp.asarray(radius, dt)
+            r = jnp.broadcast_to(r, (self.n_geom, nx, ny, nz))
+            valid = jnp.asarray(self.cell_valid, dt)
+            rps = []
+            for g in range(self.n_geom):
+                rp = jnp.zeros((nx + 2, ny + 2, nz + 2), dt)
+                rps.append(rp.at[1:nx + 1, 1:ny + 1, 1:nz + 1].set(
+                    r[g] * valid))
             out = []
             for (*_frame, ca, cb, oa, ob, ext, creators, inst) in consts:
                 r_inst = jnp.zeros(ext, dt)
-                for s in creators:  # increasing order; later = higher priority
+                for s in creators:  # low->high priority; later overwrites
                     sl = tuple(slice(1 - s[ax], 1 - s[ax] + ext[ax])
                                for ax in range(3))
-                    cand = rp[sl]
+                    cand = rps[s[3]][sl]
                     r_inst = jnp.where(cand > 0, cand, r_inst)
                 out.append(r_inst * r_inst * inst)
             return out

@@ -27,10 +27,12 @@ def _map_nodes(sl, lat):
     return mapping
 
 
-def _check_matvec(geom, N, gradient=None, erase=None):
+def _check_matvec(geom, N, gradient=None, erase=None, radii=None):
+    geoms = [geom] if isinstance(geom, str) else list(geom)
+    radii = radii if radii is not None else [0.05] * len(geoms)
     cfg = {"geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
                         "number_of_cells": {"x": N[0], "y": N[1], "z": N[2]},
-                        "radii": [0.05], "geom_types": [geom]}}
+                        "radii": radii, "geom_types": geoms}}
     if gradient:
         cfg["gradient"] = gradient
     cell_valid = None
@@ -54,9 +56,12 @@ def _check_matvec(geom, N, gradient=None, erase=None):
     u_f = np.zeros((sl.nc, 6) + sl.grid)
     for i, c, g in mapping:
         u_f[(c, slice(None)) + g] = u_lat[i]
-    rfield = np.full(N, 0.05)
+    rfield = np.full((len(geoms),) + tuple(N), 0.05)
     for ci, pos in enumerate(lat.cell_pos):
-        rfield[tuple(pos)] = lat.cell_radii[ci, 0]
+        for g in range(len(geoms)):
+            rfield[(g,) + tuple(pos)] = lat.cell_radii[ci, g]
+    if len(geoms) == 1:
+        rfield = rfield[0]    # exercise the legacy single-geometry shape
     matvec, diag = sl.make_matvec()
     out = np.asarray(matvec(jnp.asarray(u_f), jnp.asarray(rfield)))
     K = np.asarray(assemble_dense(lat.nodes, lat.edges, lat.radius, 1013.0, 0.3))
@@ -85,6 +90,23 @@ def test_structured_graded_radius_field():
 
 def test_structured_erased_cells():
     _check_matvec("BCC", (3, 3, 2), erase=((0, 0, 0), (0.5, 0.5, 0.5)))
+
+
+@pytest.mark.parametrize("geoms,N", [
+    (["BCC", "Hybrid1"], (2, 2, 2)),
+    (["BCC", "Hybrid1", "Hybrid4"], (2, 1, 2)),
+    (["Octet", "BCC"], (2, 2, 1)),
+])
+def test_structured_hybrid_matvec_matches_dense(geoms, N):
+    """Superposed multi-geometry (hybrid) lattices on the stencil operator,
+    with one radius field per geometry (the reference's multi-geom_types
+    build; previously these were stuck on the unstructured path)."""
+    _check_matvec(geoms, N, radii=[0.05, 0.04, 0.06][:len(geoms)])
+
+
+def test_structured_hybrid_erased():
+    _check_matvec(["BCC", "Hybrid1"], (2, 2, 2), radii=[0.05, 0.04],
+                  erase=((0, 0, 0), (0.5, 0.5, 0.5)))
 
 
 def test_structured_compliance_and_gradient_match_unstructured():
