@@ -1,6 +1,6 @@
 """Optimization on the structured stencil path.
 
-For uniform single-geometry lattices (the scale regime), the equilibrium
+For uniform lattices — single-geometry or hybrid — (the scale regime), the equilibrium
 solve inside the design loop runs on the dense stencil operator instead of
 the gather/scatter graph — orders of magnitude faster per CG iteration on
 TPU.  Reuses ``OptimizationProblem``'s parameterizations, density
@@ -28,8 +28,9 @@ class StructuredOptimizationProblem(OptimizationProblem):
                  precond: str = "jacobi", mg_opts: Optional[dict] = None,
                  **kwargs):
         self._precond, self._mg_opts = precond, mg_opts
-        if lattice.config.n_geom != 1:
-            raise ValueError("structured path requires a single geometry")
+        # hybrid (multi-geometry) lattices are superposed templates with a
+        # per-geometry radius field; the stencil operator handles them
+        # natively (parallel/structured.py:_split_template_collisions)
         if not lattice.are_cells_identical():
             raise ValueError("structured path requires uniform cell size/radii "
                              "(per-cell DESIGN radii may still vary)")
@@ -38,8 +39,9 @@ class StructuredOptimizationProblem(OptimizationProblem):
         cell_valid = np.zeros((nx, ny, nz), dtype=bool)
         for pos in lattice.cell_pos:
             cell_valid[tuple(pos)] = True
+        geoms = list(lattice.config.geom_types)
         self._slat = StructuredLattice(
-            lattice.config.geom_types[0], (nx, ny, nz),
+            geoms[0] if len(geoms) == 1 else geoms, (nx, ny, nz),
             tuple(lattice.config.cell_size), self.material.young_modulus,
             self.material.poisson_ratio, dtype=dtype, cell_valid=cell_valid)
         sl = self._slat
@@ -101,18 +103,24 @@ class StructuredOptimizationProblem(OptimizationProblem):
         num_cells = sl.num_cells
         param = self.param
 
+        n_geom = self._slat.n_geom
+
+        def radius_field(theta):
+            cr = param.cell_radii(theta)                # [C, n_geom]
+            if n_geom == 1:
+                rf = jnp.zeros(num_cells, dtype=cr.dtype)
+                return rf.at[cell_pos[:, 0], cell_pos[:, 1],
+                             cell_pos[:, 2]].set(cr[:, 0])
+            rf = jnp.zeros((n_geom,) + num_cells, dtype=cr.dtype)
+            return rf.at[:, cell_pos[:, 0], cell_pos[:, 1],
+                         cell_pos[:, 2]].set(cr.T)
+
         def objective_theta(theta):
-            cr = param.cell_radii(theta)[:, 0]         # [C]
-            rf = jnp.zeros(num_cells, dtype=cr.dtype)
-            rf = rf.at[cell_pos[:, 0], cell_pos[:, 1], cell_pos[:, 2]].set(cr)
-            val, _u = raw(rf, free_j, f_j, u0)
+            val, _u = raw(radius_field(theta), free_j, f_j, u0)
             return val
 
         def objective_theta_warm(theta, u_start):
-            cr = param.cell_radii(theta)[:, 0]
-            rf = jnp.zeros(num_cells, dtype=cr.dtype)
-            rf = rf.at[cell_pos[:, 0], cell_pos[:, 1], cell_pos[:, 2]].set(cr)
-            val, u = raw(rf, free_j, f_j, u_start)
+            val, u = raw(radius_field(theta), free_j, f_j, u_start)
             return val, u
 
         self._objective_theta_structured = objective_theta

@@ -12,10 +12,10 @@ K.u then becomes, per template edge, dense shifted-slice arithmetic over
 is the difference between XLA's serialized scatter lowering (~100 ms per
 matvec at 50^3) and a handful of fused elementwise passes at HBM bandwidth.
 
-Scope: single geometry, uniform cell size, no penalization — exactly the
-BASELINE 50^3 configuration; erased cells are supported through a per-cell
-validity mask.  The general unstructured path (parallel.sharding) covers
-everything else.
+Scope: uniform cell size, no penalization; single-geometry AND hybrid
+(superposed multi-geometry) templates, with erased cells through a
+per-cell validity mask.  The general unstructured path (parallel.sharding)
+covers the rest (graded cell sizes, trimmed node clouds, penalized radii).
 """
 
 from __future__ import annotations

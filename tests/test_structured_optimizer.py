@@ -79,19 +79,30 @@ def test_structured_matches_unstructured_displacement_objectives(
         assert (float(vs) < 0) == (objective_function == "min")
 
 
-def test_structured_rejects_multi_geometry():
+def test_structured_hybrid_matches_unstructured_value_and_grad():
+    """Hybrid (multi-geometry) lattices on the structured path: the
+    per-geometry radius field must reproduce the unstructured FEM
+    objective AND its gradient w.r.t. every per-cell-per-geometry
+    parameter."""
     lat = build_lattice({
         "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
-                     "number_of_cells": {"x": 2, "y": 1, "z": 1},
-                     "radii": [0.05, 0.04], "geom_types": ["BCC", "Octet"]},
+                     "number_of_cells": {"x": 2, "y": 2, "z": 1},
+                     "radii": [0.05, 0.04], "geom_types": ["BCC", "Hybrid1"]},
         "boundary_conditions": {
             "Displacement": {"Fixed": {"Surface": ["Xmin"],
                                        "DOF": ["X", "Y", "Z", "RX", "RY", "RZ"],
                                        "Value": [0, 0, 0, 0, 0, 0]}},
             "Force": {"Load": {"Surface": ["Xmax"], "DOF": ["Z"],
                                "Value": [-0.1]}}}})
-    with pytest.raises(ValueError):
-        StructuredOptimizationProblem(lat, opt_params=OPT, constraints=CON)
+    up = OptimizationProblem(lat, opt_params=OPT, constraints=CON)
+    sp = StructuredOptimizationProblem(lat, opt_params=OPT, constraints=CON)
+    assert sp.param.n_params == lat.num_cells * 2
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(0.3 + 0.4 * rng.random(sp.param.n_params))
+    vs, gs = sp._value_and_grad(x0)
+    vu, gu = up._value_and_grad(x0)
+    np.testing.assert_allclose(float(vs), float(vu), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gu), rtol=1e-7)
 
 
 def test_optimize_lattice_routes_structured():
