@@ -28,13 +28,16 @@ def run_structured(n: int):
 
     tol = float(os.environ.get("BENCH_TOL", "1e-6"))
     geom = os.environ.get("BENCH_GEOM", "Octet")
+    # "BCC+Hybrid1+Hybrid4" benches a HYBRID (superposed multi-geometry)
+    # lattice with a per-geometry radius field
+    geoms = geom.split("+") if "+" in geom else geom
     maxiter = int(os.environ.get("BENCH_MAXITER", "6000"))
     # fused Pallas stencil matvec at every multigrid level (see
     # parallel/stencil_pallas.py); PLDSO_MATVEC=gather for the XLA form
     os.environ.setdefault("PLDSO_MATVEC", "pallas")
 
     t0 = time.time()
-    sl = StructuredLattice(geom, (n, n, n), (1.0, 1.0, 1.0), 1013.0, 0.3,
+    sl = StructuredLattice(geoms, (n, n, n), (1.0, 1.0, 1.0), 1013.0, 0.3,
                            dtype=jnp.float32)
     build_s = time.time() - t0
     dofs = 6 * sl.n_nodes
@@ -58,7 +61,8 @@ def run_structured(n: int):
     step = make_structured_compliance_step(sl, free, f, tol=tol,
                                            maxiter=maxiter, precond=precond,
                                            mg_opts=mg_opts)
-    r0 = jnp.full(sl.num_cells, 0.05, dtype=jnp.float32)
+    rshape = sl.num_cells if sl.n_geom == 1 else (sl.n_geom,) + sl.num_cells
+    r0 = jnp.full(rshape, 0.05, dtype=jnp.float32)
     # frozen multigrid preconditioner state, refreshed every
     # BENCH_PRECOND_REFRESH steps (radii move slowly along a descent path;
     # M only affects convergence, never the solve fixed point)
