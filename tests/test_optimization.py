@@ -214,3 +214,29 @@ def test_project_density_restores_feasibility():
     # feasible points are untouched
     xf = np.full(prob.param.n_params, 0.05)
     np.testing.assert_array_equal(prob.project_density(xf), xf)
+
+
+def test_slsqp_survives_nan_pockets():
+    """NaN/Inf trial evaluations (surrogate-invalid corners) must be
+    rejected by the line search and never poison the returned point."""
+    lat = cantilever(3)
+    prob = OptimizationProblem(lat, opt_params={"type": "unit_cell"},
+                               constraints={"relative_density": {
+                                   "value": 0.08, "mode": "upper"}},
+                               cg_tol=1e-11, cg_maxiter=3000)
+    inner = prob._value_and_grad
+
+    def poisoned(x):
+        v, g = inner(x)
+        # a NaN pocket on part of the box the optimizer will try to enter
+        bad = float(jnp.max(x)) > 0.62
+        if bad:
+            return jnp.float64(jnp.nan), jnp.full_like(jnp.asarray(x),
+                                                       jnp.nan)
+        return v, g
+
+    prob._value_and_grad = poisoned
+    res = prob.optimize_slsqp(max_iterations=15)
+    assert np.isfinite(res.objective) and res.objective > 0
+    assert res.density <= 0.08 + 1e-6
+    assert np.max(res.theta) <= 0.62 + 1e-9
