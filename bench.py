@@ -206,6 +206,13 @@ def main():
             time.sleep(30)
         return False
 
+    # upfront health gate: with the tunnel fully wedged, every size attempt
+    # would otherwise hang to its full BENCH_TIMEOUT before failing (hours
+    # across the fallback chain); bound the total wait instead
+    if not wait_healthy(int(os.environ.get("BENCH_STARTUP_WAIT", "1800"))):
+        print("# bench: TPU unavailable after startup wait", file=sys.stderr)
+        raise SystemExit(2)
+
     sizes = [int(os.environ.get("BENCH_N", "50")), 30, 20, 10]
     for n in sizes:
         for attempt in range(2):
