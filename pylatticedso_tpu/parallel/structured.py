@@ -138,6 +138,10 @@ class StructuredLattice:
     kappa: float = 0.9
     dtype: object = jnp.float32
     cell_valid: Optional[np.ndarray] = None   # [Nx,Ny,Nz] bool (erasure)
+    node_keep: Optional[object] = None        # [nc,X,Y,Z] bool or p(x,y,z)
+    # node-granular TRIMMING (design.mesh_trimmer shapes at structured
+    # speed): beams with a dropped endpoint are removed, like the
+    # builder's trim pass.  A callable receives world coordinates.
 
     def __post_init__(self):
         self.geoms = ([self.geom] if isinstance(self.geom, str)
@@ -204,6 +208,31 @@ class StructuredLattice:
             py = (gy + key[1]) * csz[1]
             pz = (gz + key[2]) * csz[2]
             self.class_pos[c] = np.stack([px, py, pz])
+
+        # node-granular trimming: drop nodes outside ``node_keep``, remove
+        # every beam instance touching a dropped endpoint, then prune
+        # orphaned nodes (the builder's trim pass, design/mesh_trimmer.py,
+        # at class-grid granularity)
+        if self.node_keep is not None:
+            keep = self.node_keep
+            if callable(keep):
+                k = np.zeros((self.nc,) + self.grid, dtype=bool)
+                for c in range(self.nc):
+                    x, y, z = self.class_pos[c]
+                    k[c] = keep(x, y, z)
+                keep = k
+            self.node_valid &= np.asarray(keep, dtype=bool)
+            used = np.zeros_like(self.node_valid)
+            for e in self.edges:
+                ext, oa, ob = e["ext"], e["oa"], e["ob"]
+                sa = tuple(slice(oa[ax], oa[ax] + ext[ax]) for ax in range(3))
+                sb = tuple(slice(ob[ax], ob[ax] + ext[ax]) for ax in range(3))
+                ka = self.node_valid[e["ca"]][sa]
+                kb = self.node_valid[e["cb"]][sb]
+                e["inst_valid"] = e["inst_valid"] & ka & kb
+                used[e["ca"]][sa] |= e["inst_valid"]
+                used[e["cb"]][sb] |= e["inst_valid"]
+            self.node_valid &= used
 
     # ------------------------------------------------------------------
     @property

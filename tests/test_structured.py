@@ -196,3 +196,60 @@ def test_selfadjoint_fast_path_matches_value_and_grad():
     c_s, g_s, _ = slow(r0)
     np.testing.assert_allclose(float(c_f), float(c_s), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s), rtol=1e-6)
+
+
+def test_structured_trimmed_nodes_match_dense():
+    """Node-granular trimming (node_keep): beams touching dropped nodes
+    vanish and orphaned nodes are pruned — parity vs a dense assembly of
+    the same subgraph (the mesh-trimmer semantics at class-grid
+    granularity)."""
+    N = (3, 2, 2)
+    cfg = {"geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                        "number_of_cells": {"x": N[0], "y": N[1], "z": N[2]},
+                        "radii": [0.05], "geom_types": ["Octet"]}}
+    lat = build_lattice(cfg)
+
+    # spherical keep region (strictly inside => nontrivial trim)
+    ctr = np.array([1.2, 1.0, 1.0])
+    keep_fn = lambda x, y, z: ((x - ctr[0]) ** 2 + (y - ctr[1]) ** 2
+                               + (z - ctr[2]) ** 2) <= 1.7 ** 2
+
+    sl = StructuredLattice("Octet", N, (1, 1, 1), 1013.0, 0.3,
+                           dtype=jnp.float64, node_keep=keep_fn)
+
+    # unstructured oracle: drop edges touching dropped nodes
+    node_keep = keep_fn(*lat.nodes.T)
+    ekeep = node_keep[lat.edges[:, 0]] & node_keep[lat.edges[:, 1]]
+    assert 0 < int(ekeep.sum()) < lat.num_edges, "trim must be nontrivial"
+    n_used = np.zeros(lat.num_nodes, dtype=bool)
+    n_used[lat.edges[ekeep].ravel()] = True
+    assert sl.n_nodes == int(n_used.sum())
+    n_inst = sum(int(e["inst_valid"].sum()) for e in sl.edges)
+    assert n_inst == int(ekeep.sum())
+
+    K = np.asarray(assemble_dense(lat.nodes, lat.edges[ekeep],
+                                  lat.radius[ekeep], 1013.0, 0.3))
+    # map only the surviving nodes onto the class grids
+    coord_to_cg = {}
+    for c in range(sl.nc):
+        x, y, z = sl.class_pos[c]
+        for idx in np.argwhere(sl.node_valid[c]):
+            key = (round(x[tuple(idx)], 9), round(y[tuple(idx)], 9),
+                   round(z[tuple(idx)], 9))
+            coord_to_cg[key] = (c, tuple(idx))
+    mapping = []
+    for i in np.flatnonzero(n_used):
+        key = tuple(np.round(lat.nodes[i], 9))
+        assert key in coord_to_cg, f"surviving node {lat.nodes[i]} missing"
+        mapping.append((i, *coord_to_cg[key]))
+    rng = np.random.default_rng(1)
+    u_lat = rng.normal(size=(lat.num_nodes, 6))
+    u_f = np.zeros((sl.nc, 6) + sl.grid)
+    for i, c, g in mapping:
+        u_f[(c, slice(None)) + g] = u_lat[i]
+    ref = (K @ u_lat.reshape(-1)).reshape(-1, 6)
+    matvec, diag = sl.make_matvec()
+    out = np.asarray(matvec(jnp.asarray(u_f), jnp.asarray(np.full(N, 0.05))))
+    err = max(np.abs(out[(c, slice(None)) + g] - ref[i]).max()
+              for i, c, g in mapping)
+    assert err < 1e-10, f"trimmed matvec err {err:.2e}"
