@@ -218,6 +218,15 @@ class MeshTrimmer:
         for c, e in ce:
             first_of_edge.setdefault(int(e), int(c))
         bad = ec < 0
+        orphans = [i for i in np.nonzero(bad)[0] if int(i) not in first_of_edge]
+        if orphans:
+            # an edge outside every surviving cell bbox (e.g. a clipped
+            # segment on a cell boundary within tolerance) has no valid
+            # owner — silently assigning cell 0 would corrupt edge_cell
+            raise RuntimeError(
+                f"trim left {len(orphans)} edge(s) with no containing cell "
+                f"(first: edge {int(orphans[0])}); widen the bbox tolerance "
+                "or drop these edges before rebuilding cell maps")
         lattice.edge_cell = np.where(
             bad, [first_of_edge.get(i, 0) for i in range(lattice.num_edges)],
             ec).astype(np.int32)

@@ -51,16 +51,23 @@ def slsqp_polish(problem, result, max_iterations: int = 50,
     """
     import numpy as np
     best = result
-    for _ in range(max_restarts):
-        problem.param.x0 = np.asarray(best.theta)
-        nxt = problem.optimize_slsqp(max_iterations=max_iterations, ftol=ftol)
-        cand = _better_result(best, nxt, problem.constraints or {})
-        improved = (cand is nxt) and (
-            best.objective - nxt.objective
-            > 10.0 * ftol * max(abs(best.objective), 1e-30))
-        best = cand
-        if not improved:
-            break
+    saved_x0 = problem.param.x0
+    try:
+        for _ in range(max_restarts):
+            problem.param.x0 = np.asarray(best.theta)
+            nxt = problem.optimize_slsqp(max_iterations=max_iterations,
+                                         ftol=ftol)
+            cand = _better_result(best, nxt, problem.constraints or {})
+            improved = (cand is nxt) and (
+                best.objective - nxt.objective
+                > 10.0 * ftol * max(abs(best.objective), 1e-30))
+            best = cand
+            if not improved:
+                break
+    finally:
+        # restart points must not leak into the problem's configured
+        # initial design for later optimize runs
+        problem.param.x0 = saved_x0
     return best
 
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..design.lattice import Lattice
-from ..fem.solve import linear_solve
+from ..fem.solve import linear_solve, linear_solve_refined
 from ..ddm.schur import (discretize_cell_chained, schur_batch_chained,
                          schur_penalized_batch)
 from ..ddm.solver import build_ddm_system
@@ -249,7 +249,21 @@ class DDMOptimizationProblem(OptimizationProblem):
         diag = jnp.where(diag == 0, 1.0, diag)
 
         b = free * (f - K(u_imp)) + (1.0 - free) * u_imp
-        if self.refined and S.dtype == jnp.float64:
+        if self.refined and S.dtype == jnp.float64 and 6 * N > 20_000:
+            # large-lattice TPU path: the dense assembly below is
+            # O((6N)^2) memory (~10 GB already at 50k DOF) — stay
+            # matrix-free: f32 CG on the surrogate operator + emulated-f64
+            # residual refinement to the same tol-1e-9 semantics
+            f32 = jnp.float32
+            S32 = jax.lax.stop_gradient(S).astype(f32)
+            free32 = free.astype(f32)
+            A_lo = make_A(make_K(S32), free32)
+            diag32 = jax.lax.stop_gradient(diag).astype(f32)
+            u = linear_solve_refined(
+                A_lo, b, A_hi=A, M=lambda r: r / diag32,
+                maxiter=self.cg_maxiter, tol=self.cg_tol,
+                x0=None if u0 is None else jax.lax.stop_gradient(u0))
+        elif self.refined and S.dtype == jnp.float64:
             # TPU path: the interface system is SMALL (a few thousand
             # DOFs), so the TPU-native solve is dense mixed precision —
             # assemble the interface matrix, equilibrate, factor once in

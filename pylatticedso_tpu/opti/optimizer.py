@@ -365,7 +365,15 @@ class OptimizationProblem:
                 # REJECTED by the line search, not ingested into SLSQP's
                 # internal state: report a large finite value, flat slope
                 evals[np.asarray(x, dtype=float).tobytes()] = float("inf")
-                big = 1e6 * (scale["c0"] or 1.0)
+                # the rejection value must dominate on the SAME scale the
+                # other returns use: normalized returns are O(1) (v/c0), so
+                # 1e6 flat; un-normalized returns are raw, so anchor on the
+                # largest magnitude seen so far (c0 is never set then)
+                if normalize_objective and scale["c0"] is not None:
+                    big = 1e6
+                else:
+                    ref = scale["c0"] or abs(scale.get("last_raw", 0.0)) or 1.0
+                    big = 1e6 * max(ref, 1e-30)
                 return big, np.zeros_like(np.asarray(x, dtype=float))
             scale["last_raw"] = v
             evals[np.asarray(x, dtype=float).tobytes()] = v
