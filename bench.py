@@ -176,6 +176,22 @@ def run(n: int):
     }))
 
 
+def _fail_json(reason: str) -> None:
+    """A bench that cannot run must still say so in ONE parseable JSON line
+    on stdout (the driver records stdout's tail; a bare SystemExit left
+    BENCH_r02.json empty during the 2026-08-17 tunnel outage)."""
+    n = int(os.environ.get("BENCH_N", "50"))
+    geom = os.environ.get("BENCH_GEOM", "Octet")
+    print(json.dumps({
+        "metric": f"{n}^3 {geom} (structured stencil): PCG solve + adjoint "
+                  "compliance gradient, one iteration",
+        "value": None,
+        "unit": "s",
+        "vs_baseline": None,
+        "error": reason,
+    }), flush=True)
+
+
 def main():
     if os.environ.get("BENCH_SINGLE"):
         run(int(os.environ["BENCH_SINGLE"]))
@@ -185,9 +201,14 @@ def main():
     # failure we wait for a trivial health probe to pass before continuing
     import subprocess
 
+    # every phase below stays inside one total wall budget so the driver
+    # never has to kill us (a kill loses all output)
+    deadline = time.time() + float(os.environ.get("BENCH_TOTAL_BUDGET", "5400"))
+
     def wait_healthy(max_wait=None):
         if max_wait is None:
             max_wait = int(os.environ.get("BENCH_HEALTH_WAIT", "600"))
+        max_wait = min(max_wait, max(deadline - time.time(), 0))
         probe = ("import jax, jax.numpy as jnp; "
                  "x = jnp.ones((64, 64)); print(float((x @ x).sum()))")
         t0 = time.time()
@@ -209,19 +230,26 @@ def main():
     # upfront health gate: with the tunnel fully wedged, every size attempt
     # would otherwise hang to its full BENCH_TIMEOUT before failing (hours
     # across the fallback chain); bound the total wait instead
-    if not wait_healthy(int(os.environ.get("BENCH_STARTUP_WAIT", "1800"))):
+    if not wait_healthy(int(os.environ.get("BENCH_STARTUP_WAIT", "600"))):
         print("# bench: TPU unavailable after startup wait", file=sys.stderr)
-        raise SystemExit(2)
+        _fail_json("tpu_unavailable")
+        return
 
     sizes = [int(os.environ.get("BENCH_N", "50")), 30, 20, 10]
     for n in sizes:
         for attempt in range(2):
+            remaining = deadline - time.time()
+            if remaining < 120:
+                print("# bench: total wall budget exhausted", file=sys.stderr)
+                _fail_json("budget_exhausted")
+                return
             env = dict(os.environ, BENCH_SINGLE=str(n))
             try:
                 proc = subprocess.run(
                     [sys.executable, __file__], env=env, capture_output=True,
                     text=True,
-                    timeout=int(os.environ.get("BENCH_TIMEOUT", "2400")))
+                    timeout=min(int(os.environ.get("BENCH_TIMEOUT", "2400")),
+                                remaining))
             except subprocess.TimeoutExpired:
                 print(f"# bench N={n} attempt {attempt + 1} timed out",
                       file=sys.stderr)
@@ -236,7 +264,7 @@ def main():
             print(f"# bench N={n} attempt {attempt + 1} failed "
                   f"(rc={proc.returncode}): {err_lines}", file=sys.stderr)
             wait_healthy()
-    raise SystemExit(1)
+    _fail_json("all_sizes_failed")
 
 
 if __name__ == "__main__":
