@@ -51,8 +51,9 @@ def run_structured(n: int):
     for c in range(sl.nc):
         f[c, 2][top[c]] = -1.0 / n_top
 
-    # geometric multigrid: 0.92 s/iter at 50^3 on one v5e vs 2.41 s with
-    # jacobi (measured 2026-08-16, default mg_opts)
+    # geometric multigrid preconditioner: 0.264 s/iter at 50^3 on one v5e
+    # (Pallas matvec + frozen MG state, measured 2026-08-17) vs 2.41 s
+    # with jacobi
     precond = os.environ.get("BENCH_PRECOND", "mg")
     mg_opts = {"nu": int(os.environ.get("BENCH_MG_NU", "2")),
                "coarse_degree": int(os.environ.get("BENCH_MG_COARSE", "24")),
@@ -214,9 +215,10 @@ def main():
         t0 = time.time()
         while time.time() - t0 < max_wait:
             try:
-                p = subprocess.run([sys.executable, "-c", probe],
-                                   capture_output=True, text=True,
-                                   timeout=180)
+                p = subprocess.run(
+                    [sys.executable, "-c", probe], capture_output=True,
+                    text=True,
+                    timeout=int(os.environ.get("BENCH_PROBE_TIMEOUT", "180")))
                 ok = p.returncode == 0
             except subprocess.TimeoutExpired:
                 # a wedged tunnel HANGS the probe (it does not error):

@@ -90,3 +90,33 @@ if os.environ.get("BONE_FEM", "1") != "0":
     print(f"FEM solve: {fem.iterations} CG iterations, {time.time()-t0:.1f} s, "
           f"compliance {fem.compliance:.6e}")
     print(f"FEM-vs-DDM interface rel L2: {rel:.3e}")
+
+if os.environ.get("BONE_OPT", "1") != "0":
+    # per-topology-group surrogate optimization: every unique trimmed-cell
+    # subgraph gets its own greedy-RB + RBF surrogate S_g(r), and the
+    # interface operator batches per group (opti/ddm_optimizer.py) — the
+    # reference's MeshTrimmer + DDM workflow (mesh_trimmer.py:130,
+    # lattice_sim.py:1227-1252) taken all the way to design optimization.
+    from pylatticedso_tpu.opti.ddm_optimizer import DDMOptimizationProblem
+
+    t0 = time.time()
+    prob = DDMOptimizationProblem(
+        lat, opt_params={"type": "unit_cell"},
+        constraints={"relative_density": {"value": 0.10, "mode": "upper"}},
+        objective_type="compliance", min_radius=0.02,
+        # 5 samples/axis (0.02): coarser grids leave the 3-D RBF too sparse
+        # — SLSQP then walks into surrogate-indefinite corners and every
+        # trial gets rejected (compliance guard in ddm_optimizer._eval)
+        grid_step=float(os.environ.get("BONE_GRID_STEP", "0.02")),
+        target_h=float(os.environ.get("BONE_TARGET_H", "0.2")),
+        cg_tol=1e-9, cg_maxiter=4000)
+    print(f"offline per-group surrogates: {len(prob._groups)} topology "
+          f"groups in {time.time()-t0:.1f} s")
+    v0 = prob.objective(prob.param.x0)
+    t0 = time.time()
+    res = prob.optimize_slsqp(
+        max_iterations=int(os.environ.get("BONE_OPT_ITERS", "15")),
+        feasible_start=True, move_limit=0.1)
+    print(f"optimized: compliance {v0:.6e} -> {res.objective:.6e} "
+          f"(density {res.density:.4f}) in {time.time()-t0:.1f} s, "
+          f"{res.iterations} iterations, success={res.success}")

@@ -70,6 +70,9 @@ class DDMSystem:
         self.cells_of_group = [np.nonzero(self.cell_group == g)[0]
                                for g in range(len(S_groups))]
         bn_list = [np.asarray(b) for b in cell_bnodes]
+        #: per-cell boundary-node ids in simulation order (ragged) — the
+        #: per-group surrogate optimizer regroups these by topology
+        self.bn_list = bn_list
         nbs = {len(b) for b in bn_list}
         self.homogeneous = len(nbs) == 1
         if self.homogeneous:

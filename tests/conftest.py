@@ -43,3 +43,19 @@ def bcc222_config():
             "geom_types": ["BCC"],
         }
     }
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy numerical oracle (skipped when PLDSO_FAST_TESTS=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    # PLDSO_FAST_TESTS=1 trims the suite to a quick iteration loop on the
+    # throttled 1-vCPU host; the default (and CI/driver) run is complete.
+    if os.environ.get("PLDSO_FAST_TESTS") == "1":
+        skip = pytest.mark.skip(reason="slow oracle (PLDSO_FAST_TESTS=1)")
+        for item in items:
+            if "slow" in item.keywords:
+                item.add_marker(skip)

@@ -96,3 +96,89 @@ def test_ddm_refined_matches_plain_objective_and_gradient(ddm_problem):
     np.testing.assert_allclose(vr, v, rtol=1e-9)
     g, gr = prob.gradient(x0), prob_r.gradient(x0)
     np.testing.assert_allclose(gr, g, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# heterogeneous (trimmed) lattices: per-topology-group surrogates
+# ---------------------------------------------------------------------------
+
+def _octahedron(center, R):
+    c = np.asarray(center, float)
+    vx = [c + R * np.asarray(v) for v in
+          [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]]
+    faces = [(0, 2, 4), (2, 1, 4), (1, 3, 4), (3, 0, 4),
+             (2, 0, 5), (1, 2, 5), (3, 1, 5), (0, 3, 5)]
+    return np.asarray([[vx[i], vx[j], vx[k]] for i, j, k in faces])
+
+
+def _trimmed_lattice(r=0.05):
+    from pylatticedso_tpu.design.mesh_trimmer import MeshTrimmer
+    lat = build_lattice({
+        "geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                     "number_of_cells": {"x": 3, "y": 3, "z": 3},
+                     "radii": [r], "geom_types": ["BCC"]},
+        "simulation_parameters": {"enable": True, "material": "VeroClear"},
+        "boundary_conditions": {
+            "Displacement": {"Fixed": {"Surface": ["Zmin"],
+                                       "DOF": ["X", "Y", "Z", "RX", "RY", "RZ"],
+                                       "Value": [0, 0, 0, 0, 0, 0]}},
+            "Force": {"Load": {"Surface": ["Zmax"], "DOF": ["Z"],
+                               "Value": [-0.5]}}}})
+    # the same asymmetric clip as test_ddm_solver's heterogeneous case:
+    # leaves cells with 4/6/8 boundary nodes
+    MeshTrimmer(_octahedron((1.5, 1.5, 1.5), 3.2)).trim_lattice(lat)
+    return lat
+
+
+@pytest.fixture(scope="module")
+def hetero_problem():
+    lat = _trimmed_lattice()
+    from pylatticedso_tpu.ddm.solver import build_ddm_system
+    assert not build_ddm_system(lat).homogeneous, "trim left cells identical"
+    return DDMOptimizationProblem(
+        lat, opt_params={"type": "unit_cell"}, constraints={},
+        cg_tol=1e-11, cg_maxiter=4000, min_radius=0.02, grid_step=0.04,
+        spd_shift=0.0, target_h=0.3)
+
+
+def test_hetero_groups_and_exactness(hetero_problem):
+    """Per-group surrogate objective == exact heterogeneous-Schur DDM
+    compliance at an on-grid radius (each group's RB reconstructs its
+    training samples exactly)."""
+    from pylatticedso_tpu.ddm.solver import solve_ddm
+    prob = hetero_problem
+    assert len(prob._groups) > 1
+    assert prob._surrogate is None
+    sizes = {g.bn.shape[1] for g in prob._groups}
+    assert len(sizes) > 1, f"expected ragged boundary counts, got {sizes}"
+    theta_on = np.full_like(prob.param.x0,
+                            (0.06 - prob.param.min_radius) /
+                            (prob.param.max_radius - prob.param.min_radius))
+    v_on = prob.objective(theta_on)
+    lat2 = _trimmed_lattice()
+    lat2.radius[:] = 0.06
+    lat2.cell_radii[:] = 0.06
+    exact = solve_ddm(lat2, penalization=False, target_h=0.3, tol=1e-11,
+                      share_weights=True)
+    np.testing.assert_allclose(v_on, exact.compliance, rtol=1e-6)
+
+
+def test_hetero_gradient_matches_fd(hetero_problem):
+    prob = hetero_problem
+    rng = np.random.default_rng(3)
+    x0 = np.clip(prob.param.x0 + rng.uniform(-0.1, 0.1, prob.param.n_params),
+                 0.0, 1.0)
+    g = prob.gradient(x0)
+    h = 1e-5
+    for k in rng.choice(prob.param.n_params, size=5, replace=False):
+        e = np.zeros_like(x0); e[k] = h
+        fd = (prob.objective(x0 + e) - prob.objective(x0 - e)) / (2 * h)
+        np.testing.assert_allclose(g[k], fd, rtol=2e-4, atol=1e-12)
+
+
+def test_hetero_slsqp_reduces_compliance(hetero_problem):
+    prob = hetero_problem
+    v0 = prob.objective(prob.param.x0)
+    res = prob.optimize_slsqp(max_iterations=6)
+    assert np.isfinite(res.objective)
+    assert res.objective < v0

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from pylatticedso_tpu.parallel.structured import (
@@ -57,6 +58,7 @@ def test_prolong_reproduces_linear_fields():
     np.testing.assert_allclose(got, ff, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_vcycle_is_symmetric_positive():
     sl, free_n, f = _problem(4)
     h = build_mg_hierarchy(sl, free_n)
@@ -73,6 +75,7 @@ def test_vcycle_is_symmetric_positive():
     assert float(jnp.vdot(a.ravel(), M(a).ravel())) > 0
 
 
+@pytest.mark.slow
 def test_mg_pcg_beats_jacobi_iterations():
     sl, free_n, f = _problem(6)
     dt = jnp.float64

@@ -117,6 +117,7 @@ def test_chunked_step_matches_fused(setup):
     np.testing.assert_allclose(float(c3), float(c), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_structured_step_sharded_parity():
     """GSPMD-sharded structured stencil step (grid slab per device) must
     match the single-device step: compliance/gradient to roundoff."""

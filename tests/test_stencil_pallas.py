@@ -25,6 +25,7 @@ def test_pallas_matches_gather(geom, n):
     assert err < 1e-5
 
 
+@pytest.mark.slow
 def test_pallas_erased_cells_and_grad():
     n = 4
     valid = np.ones((n, n, n), bool)
@@ -81,6 +82,7 @@ def test_pallas_bf16_smoother_form():
     assert err < 0.03, err          # bf16 has ~3e-3 relative rounding
 
 
+@pytest.mark.slow
 def test_mg_bf16_smoother_preconditioner_converges():
     """PCG with the bf16-smoother V-cycle must reach the same solution
     (the preconditioner only changes convergence, not the fixed point)."""

@@ -149,6 +149,7 @@ def test_structured_compliance_and_gradient_match_unstructured():
     np.testing.assert_allclose(np.asarray(g_s), cell_grad, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_structured_candidate_batch():
     n = 2
     sl = StructuredLattice("Octet", (n, n, n), (1., 1., 1.), 1013.0, 0.3,

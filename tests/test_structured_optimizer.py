@@ -79,6 +79,7 @@ def test_structured_matches_unstructured_displacement_objectives(
         assert (float(vs) < 0) == (objective_function == "min")
 
 
+@pytest.mark.slow
 def test_structured_hybrid_matches_unstructured_value_and_grad():
     """Hybrid (multi-geometry) lattices on the structured path: the
     per-geometry radius field must reproduce the unstructured FEM
