@@ -1,9 +1,10 @@
 """Sweep Pallas stencil-kernel variants on the real TPU in one process.
 
-Variants: {baseline, align8, dense, dense+align8} x tile sizes, plus the
-XLA gather form and the bf16-I/O smoother variant of the winner.  One
-50^3 lattice is built once; each variant's matvec is timed with a
-50-apply lax.scan chain (immune to the ~1 s tunnel dispatch overhead).
+Variants: {baseline, align8, dense, once (compute-per-edge-once, implies
+dense)} x tile sizes, plus the XLA gather form and the bf16-I/O smoother
+variant of the winner.  One 50^3 lattice is built once; each variant's
+matvec is timed with a 50-apply lax.scan chain (immune to the ~1 s
+tunnel dispatch overhead).
 
 Usage: N=50 python scripts/kernel_sweep_tpu.py
 """
@@ -54,11 +55,16 @@ print(f"gather: {timeit(mv_g.apply, aux_g)*1e3:.3f} ms", flush=True)
 
 results = {}
 for tile in TILES:
-    for dense in (False, True):
+    for variant in ("", "dense", "once", "dense once"):
         for al in (False, True):
-            os.environ["PLDSO_PALLAS_DENSE"] = "1" if dense else "0"
+            os.environ["PLDSO_PALLAS_DENSE"] = \
+                "1" if "dense" in variant else "0"
+            os.environ["PLDSO_PALLAS_ONCE"] = \
+                "1" if "once" in variant else "0"
+            if variant == "dense once":   # once implies dense; skip dup
+                continue
             name = (f"tile={tile}"
-                    + (" dense" if dense else "")
+                    + (f" {variant}" if variant else "")
                     + (" align8" if al else ""))
             try:
                 prep, app = make_pallas_matvec(
@@ -75,6 +81,7 @@ for tile in TILES:
                 print(f"{name}: FAILED {type(e).__name__}: "
                       f"{str(e)[:200]}", flush=True)
 os.environ["PLDSO_PALLAS_DENSE"] = "0"
+os.environ["PLDSO_PALLAS_ONCE"] = "0"
 if results:
     best = min(results, key=results.get)
     print(f"BEST: {best} at {results[best]*1e3:.3f} ms")
