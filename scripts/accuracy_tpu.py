@@ -89,6 +89,8 @@ def main():
               "relative residual")
 
     import jax
+    if os.environ.get("PLDSO_PLATFORM"):   # e.g. cpu smoke runs
+        jax.config.update("jax_platforms", os.environ["PLDSO_PLATFORM"])
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     from pylatticedso_tpu.fem.solve import pcg, pcg_refined

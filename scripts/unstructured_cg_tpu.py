@@ -41,11 +41,11 @@ lat = build_lattice({
                                    "Value": [0, 0, 0, 0, 0, 0]}},
         "Force": {"Load": {"Surface": ["Zmax"], "DOF": ["Z"],
                            "Value": [-1.0]}}}})
-free, f_ext, _ = apply_boundary_conditions(lat)
+bc = apply_boundary_conditions(lat)
 mesh = make_mesh(n_shard=1, n_dp=1)
 shl = ShardedLattice(mesh, lat.nodes, lat.edges, 1013.0, 0.3,
                      dtype=jnp.float32)
-step = make_compliance_step(shl, free, f_ext)
+step = make_compliance_step(shl, ~bc.fixed, bc.f_applied)
 E = lat.num_edges
 print(f"{FORM}: N={N}, {E} edges, {6 * shl.n_nodes} DOF "
       f"on {jax.devices()[0].platform}", flush=True)
