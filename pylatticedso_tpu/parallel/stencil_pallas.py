@@ -76,6 +76,71 @@ def pallas_supported(slat, min_points: int = 0) -> bool:
     return Xp * Yp * Zp >= min_points
 
 
+def _pack_dense_coefs(recs, E_mod, G_mod, kappa):
+    """Constant (8, NCOLS) coefficient table for the dense kernel form.
+
+    Pallas kernels cannot capture constant ARRAYS, so every (6,)
+    matrix column of the per-record E = A2 @ [d; p3] and
+    rows = B_side @ S contractions is packed column-wise into one
+    small VMEM operand (column j = table[:6, j]); all-zero columns
+    are skipped at pack time.  Columns 0/1 hold the stiffness
+    monomial coefficients K = r2*colA + r2^2*colB.  Annotates each
+    record with its ``dense_a`` / ``dense_b`` column index lists.
+    """
+    cols = []
+
+    def add(col):
+        if all(c == 0.0 for c in col):
+            return None
+        cols.append([float(c) for c in col] + [0.0, 0.0])
+        return len(cols) - 1
+
+    add([np.pi * E_mod, np.pi * kappa * G_mod, np.pi * kappa * G_mod,
+         0.0, 0.0, 0.0])                                    # idx 0
+    add([0.0, 0.0, 0.0, np.pi / 2.0 * G_mod,
+         np.pi / 4.0 * E_mod, np.pi / 4.0 * E_mod])          # idx 1
+    for r in recs:
+        t, a1, a2, L = r["t"], r["a1"], r["a2"], r["L"]
+        invL = 1.0 / L
+        a_cols = []
+        for k in range(3):
+            j = add([t[k] * invL, a1[k] * invL, a2[k] * invL,
+                     0.0, 0.0, 0.0])
+            if j is not None:
+                a_cols.append(("d", k, j))
+        for k in range(3):
+            j = add([0.0, 0.0, 0.0, t[k] * invL, a1[k] * invL,
+                     a2[k] * invL])
+            if j is not None:
+                a_cols.append(("d", 3 + k, j))
+        for k in range(3):
+            j = add([0.0, -0.5 * a2[k], 0.5 * a1[k], 0.0, 0.0, 0.0])
+            if j is not None:
+                a_cols.append(("p", k, j))
+        sgn = -1.0 if r["side"] == 0 else 1.0
+        half_L = 0.5 * L
+        b_defs = [
+            (0, [sgn * t[0], sgn * t[1], sgn * t[2], 0.0, 0.0, 0.0]),
+            (1, [sgn * a1[0], sgn * a1[1], sgn * a1[2],
+                 -half_L * a2[0], -half_L * a2[1], -half_L * a2[2]]),
+            (2, [sgn * a2[0], sgn * a2[1], sgn * a2[2],
+                 half_L * a1[0], half_L * a1[1], half_L * a1[2]]),
+            (3, [0.0, 0.0, 0.0, sgn * t[0], sgn * t[1], sgn * t[2]]),
+            (4, [0.0, 0.0, 0.0, sgn * a1[0], sgn * a1[1], sgn * a1[2]]),
+            (5, [0.0, 0.0, 0.0, sgn * a2[0], sgn * a2[1], sgn * a2[2]]),
+        ]
+        b_cols = []
+        for srow, col in b_defs:
+            j = add(col)
+            if j is not None:
+                b_cols.append((srow, j))
+        r["dense_a"], r["dense_b"] = a_cols, b_cols
+    table = np.zeros((8, max(len(cols), 1)), dtype=np.float32)
+    for j, col in enumerate(cols):
+        table[:, j] = col
+    return table
+
+
 def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
                        tile: int = 3072, interpret: bool = False,
                        align8: Optional[bool] = None):
@@ -96,6 +161,13 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
     from jax.experimental.pallas import tpu as pltpu
     import os as _os
 
+    if _os.environ.get("PLDSO_PALLAS_2D") == "1":
+        try:
+            return make_pallas_matvec_2d(slat, xla_prepare, xla_apply,
+                                         interpret=interpret)
+        except ValueError:
+            pass                      # unsupported template: 1-D fallback
+
     if align8 is None:
         align8 = _os.environ.get("PLDSO_PALLAS_ALIGN8") == "1"
     dense = _os.environ.get("PLDSO_PALLAS_DENSE") == "1"
@@ -107,69 +179,6 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
     # Edges with |du| > T//2 fall back to the two-sided form.
     once = _os.environ.get("PLDSO_PALLAS_ONCE") == "1"
     dense = dense or once
-
-    def _pack_dense_coefs(recs, E_mod, G_mod, kappa):
-        """Constant (8, NCOLS) coefficient table for the dense kernel form.
-
-        Pallas kernels cannot capture constant ARRAYS, so every (6,)
-        matrix column of the per-record E = A2 @ [d; p3] and
-        rows = B_side @ S contractions is packed column-wise into one
-        small VMEM operand (column j = table[:6, j]); all-zero columns
-        are skipped at pack time.  Columns 0/1 hold the stiffness
-        monomial coefficients K = r2*colA + r2^2*colB.
-        """
-        cols = []
-
-        def add(col):
-            if all(c == 0.0 for c in col):
-                return None
-            cols.append([float(c) for c in col] + [0.0, 0.0])
-            return len(cols) - 1
-
-        add([np.pi * E_mod, np.pi * kappa * G_mod, np.pi * kappa * G_mod,
-             0.0, 0.0, 0.0])                                    # idx 0
-        add([0.0, 0.0, 0.0, np.pi / 2.0 * G_mod,
-             np.pi / 4.0 * E_mod, np.pi / 4.0 * E_mod])          # idx 1
-        for r in recs:
-            t, a1, a2, L = r["t"], r["a1"], r["a2"], r["L"]
-            invL = 1.0 / L
-            a_cols = []
-            for k in range(3):
-                j = add([t[k] * invL, a1[k] * invL, a2[k] * invL,
-                         0.0, 0.0, 0.0])
-                if j is not None:
-                    a_cols.append(("d", k, j))
-            for k in range(3):
-                j = add([0.0, 0.0, 0.0, t[k] * invL, a1[k] * invL,
-                         a2[k] * invL])
-                if j is not None:
-                    a_cols.append(("d", 3 + k, j))
-            for k in range(3):
-                j = add([0.0, -0.5 * a2[k], 0.5 * a1[k], 0.0, 0.0, 0.0])
-                if j is not None:
-                    a_cols.append(("p", k, j))
-            sgn = -1.0 if r["side"] == 0 else 1.0
-            half_L = 0.5 * L
-            b_defs = [
-                (0, [sgn * t[0], sgn * t[1], sgn * t[2], 0.0, 0.0, 0.0]),
-                (1, [sgn * a1[0], sgn * a1[1], sgn * a1[2],
-                     -half_L * a2[0], -half_L * a2[1], -half_L * a2[2]]),
-                (2, [sgn * a2[0], sgn * a2[1], sgn * a2[2],
-                     half_L * a1[0], half_L * a1[1], half_L * a1[2]]),
-                (3, [0.0, 0.0, 0.0, sgn * t[0], sgn * t[1], sgn * t[2]]),
-                (4, [0.0, 0.0, 0.0, sgn * a1[0], sgn * a1[1], sgn * a1[2]]),
-                (5, [0.0, 0.0, 0.0, sgn * a2[0], sgn * a2[1], sgn * a2[2]]),
-            ]
-            b_cols = []
-            for srow, col in b_defs:
-                j = add(col)
-                if j is not None:
-                    b_cols.append((srow, j))
-            r["dense_a"], r["dense_b"] = a_cols, b_cols
-        table = np.zeros((8, max(len(cols), 1)), dtype=np.float32)
-        for j, col in enumerate(cols):
-            table[:, j] = col
-        return table
 
     X, Y, Z = slat.grid
     Xp, Yp, Zp = X + 2, Y + 2, Z + 2
@@ -468,6 +477,278 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
         flat = _to_flat(u_lo)
         out = call_lo(flat, flat, flat, r2f_lo, r2f_lo, r2f_lo, coefs_dev)
         return _from_flat(out)
+
+    apply.lo = apply_lo
+    apply.prepare_lo = lambda r2f: r2f.astype(jnp.bfloat16)
+    return prepare, apply
+
+
+def make_pallas_matvec_2d(slat, xla_prepare: Callable, xla_apply: Callable,
+                          bx: Optional[int] = None, ct: Optional[int] = None,
+                          interpret: bool = False):
+    """2-D (x-slab x yz-chunk) tiling of the fused stencil matvec.
+
+    The 1-D flat-shift kernel's halo is dominated by the dx*(Yp*Zp) term
+    (H ~ 2863 at 51^3 vs tile 3072): every program reads THREE tiles of u
+    and r^2 to produce one, and per-edge windows at large shifts defeat
+    memoization.  Decomposing the shift as (dx, dyz = dy*Zp + dz) with
+    |dx| <= 1 and |dyz| <= Zp+1 makes all halos small:
+
+    * grid = (x slabs of BX planes) x (yz chunks of CT flat columns);
+      halo blocks are one x-plane (u) / two (r^2, whose anchor offset
+      adds another plane) and HC >= 2*(Zp+1) yz columns — ~1.2x read
+      overhead instead of 3x;
+    * fields compute as (6, BX, CT) arrays — the (BX, CT) trailing dims
+      map exactly onto (8, 128k) vregs, so every op runs at full VPU
+      density (the 1-D kernel's (T,) intermediates occupy one sublane of
+      8) and class rows need no align8 padding (leading-dim slices);
+    * compute-per-edge-once applies to EVERY edge: strains and internal
+      forces are evaluated on the (BX+|dx|, CT+|dyz|) extended window
+      (<= 12% larger) and both endpoint contributions are static slices.
+
+    Same (prepare, apply) contract as ``make_pallas_matvec``, including
+    the bf16-I/O smoother variants.  Raises ValueError for templates the
+    decomposition cannot host (|dx| > 1 — no catalog geometry produces
+    one; cell-local edges shift by at most one cell).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import os as _os
+
+    X, Y, Z = slat.grid
+    Xp, Yp, Zp = X + 2, Y + 2, Z + 2
+    YZ = Yp * Zp
+    nc, n_e = slat.nc, len(slat.edges)
+    if slat.dtype != jnp.float32:
+        raise ValueError("pallas stencil matvec is float32-only")
+    BX = bx or int(_os.environ.get("PLDSO_PALLAS_2D_BX", "8"))
+    HC = max(128, -(-(2 * Zp + 2) // 128) * 128)
+    CT = ct or int(_os.environ.get("PLDSO_PALLAS_2D_CT", "512"))
+    CT = max(min(CT, -(-YZ // 128) * 128), HC)
+    Xp2 = -(-Xp // BX) * BX
+    YZp = -(-YZ // CT) * CT
+    gx, gy = Xp2 // BX, YZp // CT
+    CB = CT // HC if CT % HC == 0 else None
+    if CB is None:
+        raise ValueError(f"CT {CT} must be a multiple of HC {HC}")
+
+    # per-side records with the (dx, dyz) decomposition
+    recs = []
+    for ei, e in enumerate(slat.edges):
+        d = (int(e["ob"][0] - e["oa"][0]), int(e["ob"][1] - e["oa"][1]),
+             int(e["ob"][2] - e["oa"][2]))
+        for side, (cs, co, sgn) in enumerate(
+                [(e["ca"], e["cb"], 1), (e["cb"], e["ca"], -1)]):
+            oanch = e["oa"]           # stiffness anchored at side-A's cell
+            rec = dict(ei=ei, side=side, cs=cs, co=co,
+                       dx=sgn * d[0], dyz=sgn * (d[1] * Zp + d[2]),
+                       drx=-int(oanch[0]),
+                       dryz=-(int(oanch[1]) * Zp + int(oanch[2])),
+                       t=e["t"], a1=e["a1"], a2=e["a2"], L=e["L"])
+            recs.append(rec)
+        if abs(d[0]) > 1:
+            raise ValueError(f"edge {ei}: |dx|={abs(d[0])} > 1")
+        if abs(d[1] * Zp + d[2]) > Zp + 1 or \
+                abs(recs[-1]["dryz"]) > Zp + 1:
+            raise ValueError(f"edge {ei}: yz shift exceeds Zp+1")
+        if not (-1 <= recs[-1]["drx"] <= 0):
+            raise ValueError(f"edge {ei}: drx out of range")
+
+    E_mod, nu, kappa = slat.E_mod, slat.nu, slat.kappa
+    G_mod = E_mod / (2.0 * (1.0 + nu))
+    coef_np = _pack_dense_coefs(recs, E_mod, G_mod, kappa)
+    coefs_dev = jnp.asarray(coef_np)
+    n_coef = coef_np.shape[1]
+    rows_u = nc * 6
+
+    def specs_for(rows, xh):
+        """9 neighborhood BlockSpecs for a [rows, Xp2, YZp] operand with an
+        x halo of ``xh`` planes: center (BX, CT), x halos (xh, CT),
+        yz halos (BX, HC), corners (xh, HC) — each clamped at the ends
+        (clamp garbage only reaches ghost outputs)."""
+        XBu = BX // xh                 # x-halo block units per slab
+        nxh = Xp2 // xh - 1            # last x-halo block index
+        nyz = YZp // HC - 1            # last yz-halo block index
+
+        def xlo(i):
+            return jnp.maximum(i * XBu - 1, 0)
+
+        def xhi(i):
+            return jnp.minimum(i * XBu + XBu, nxh)
+
+        def yzlo(j):
+            return jnp.maximum(j * CB - 1, 0)
+
+        def yzhi(j):
+            return jnp.minimum(j * CB + CB, nyz)
+
+        V = pltpu.VMEM
+        return [
+            pl.BlockSpec((rows, BX, CT), lambda i, j: (0, i, j),
+                         memory_space=V),
+            pl.BlockSpec((rows, xh, CT), lambda i, j: (0, xlo(i), j),
+                         memory_space=V),
+            pl.BlockSpec((rows, xh, CT), lambda i, j: (0, xhi(i), j),
+                         memory_space=V),
+            pl.BlockSpec((rows, BX, HC), lambda i, j: (0, i, yzlo(j)),
+                         memory_space=V),
+            pl.BlockSpec((rows, BX, HC), lambda i, j: (0, i, yzhi(j)),
+                         memory_space=V),
+            pl.BlockSpec((rows, xh, HC), lambda i, j: (0, xlo(i), yzlo(j)),
+                         memory_space=V),
+            pl.BlockSpec((rows, xh, HC), lambda i, j: (0, xlo(i), yzhi(j)),
+                         memory_space=V),
+            pl.BlockSpec((rows, xh, HC), lambda i, j: (0, xhi(i), yzlo(j)),
+                         memory_space=V),
+            pl.BlockSpec((rows, xh, HC), lambda i, j: (0, xhi(i), yzhi(j)),
+                         memory_space=V),
+        ]
+
+    XHU, XHR = 1, 2                    # x halo planes: u 1; r^2 2 (anchor)
+    if BX % XHR:
+        raise ValueError(f"BX {BX} must be a multiple of {XHR}")
+    specs_u = specs_for(rows_u, XHU)
+    specs_r = specs_for(n_e, XHR)
+    spec_coef = [pl.BlockSpec((8, n_coef), lambda i, j: (0, 0, 0)[:2],
+                              memory_space=pltpu.VMEM)]
+
+    def make_kernel(io_dtype):
+
+        def kernel(ucen, uxlo, uxhi, uyzlo, uyzhi, ull, ulh, uhl, uhh,
+                   rcen, rxlo, rxhi, ryzlo, ryzhi, rll, rlh, rhl, rhh,
+                   coefs, out_ref):
+            cache = {}
+
+            def assemble(refs, row0, nrows, xh):
+                """(nrows, BX+2*xh, CT+2*HC) neighborhood of rows
+                [row0, row0+nrows) — leading-dim slices + 2 concats,
+                memoized per (operand, row0)."""
+                cen, xlo_, xhi_, yzlo_, yzhi_, ll, lh, hl, hh = refs
+                key = (id(cen), row0, nrows)
+                if key in cache:
+                    return cache[key]
+                rs = slice(row0, row0 + nrows)
+                top = jnp.concatenate(
+                    [ll[rs], xlo_[rs], lh[rs]], axis=2)
+                mid = jnp.concatenate(
+                    [yzlo_[rs], cen[rs], yzhi_[rs]], axis=2)
+                bot = jnp.concatenate(
+                    [hl[rs], xhi_[rs], hh[rs]], axis=2)
+                out = jnp.concatenate([top, mid, bot],
+                                      axis=1).astype(jnp.float32)
+                cache[key] = out
+                return out
+
+            u_refs = (ucen, uxlo, uxhi, uyzlo, uyzhi, ull, ulh, uhl, uhh)
+            r_refs = (rcen, rxlo, rxhi, ryzlo, ryzhi, rll, rlh, rhl, rhh)
+
+            def coef_col(j):
+                return coefs[0:6, j:j + 1][:, :, None]   # (6, 1, 1)
+
+            def col_accum(terms):
+                out = None
+                for row, j in terms:
+                    term = row[None] * coef_col(j)
+                    out = term if out is None else out + term
+                return out
+
+            acc = [jnp.zeros((6, BX, CT), jnp.float32) for _ in range(nc)]
+            for ei in range(n_e):
+                rA, rB = recs[2 * ei], recs[2 * ei + 1]
+                dx, dyz = rA["dx"], rA["dyz"]
+                ax, wx = min(0, -dx), BX + abs(dx)
+                ay, wy = min(0, -dyz), CT + abs(dyz)
+                BU_a = assemble(u_refs, 6 * rA["cs"], 6, XHU)
+                BU_b = assemble(u_refs, 6 * rA["co"], 6, XHU)
+                uA = BU_a[:, XHU + ax:XHU + ax + wx,
+                          HC + ay:HC + ay + wy]
+                uB = BU_b[:, XHU + ax + dx:XHU + ax + dx + wx,
+                          HC + ay + dyz:HC + ay + dyz + wy]
+                BR = assemble(r_refs, ei, 1, XHR)[0]
+                rx0 = XHR + ax + rA["drx"]
+                ry0 = HC + ay + rA["dryz"]
+                r2 = BR[rx0:rx0 + wx, ry0:ry0 + wy]
+                K = r2[None] * coef_col(0) + (r2 * r2)[None] * coef_col(1)
+                d = uB - uA
+                p3 = uA[3:] + uB[3:]
+                Estr = col_accum([(d[k] if src == "d" else p3[k], j)
+                                  for (src, k, j) in rA["dense_a"]])
+                Sd = K * Estr                       # (6, wx, wy)
+                sA = Sd[:, -ax:BX - ax, -ay:CT - ay]
+                sB = Sd[:, -ax - dx:BX - ax - dx, -ay - dyz:CT - ay - dyz]
+                acc[rA["cs"]] = acc[rA["cs"]] + col_accum(
+                    [(sA[srow], j) for (srow, j) in rA["dense_b"]])
+                acc[rB["cs"]] = acc[rB["cs"]] + col_accum(
+                    [(sB[srow], j) for (srow, j) in rB["dense_b"]])
+            out_ref[:] = jnp.concatenate(acc, axis=0).astype(io_dtype)
+
+        return kernel
+
+    def make_call(io_dtype):
+        nbytes = jnp.dtype(io_dtype).itemsize
+        halo_cols = (2 * HC + CT) / CT
+        return pl.pallas_call(
+            make_kernel(io_dtype),
+            grid=(gx, gy),
+            in_specs=specs_u + specs_r + spec_coef,
+            out_specs=pl.BlockSpec((rows_u, BX, CT), lambda i, j: (0, i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows_u, Xp2, YZp), io_dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=60 * len(recs) * Xp2 * YZp, transcendentals=0,
+                bytes_accessed=int(nbytes * (rows_u * (1 + halo_cols)
+                                             + n_e * halo_cols
+                                             + rows_u) * Xp2 * YZp)),
+            interpret=interpret,
+        )
+
+    call = make_call(jnp.float32)
+    call_lo = make_call(jnp.bfloat16)
+
+    def _to_3d(u):
+        """[nc, 6, X, Y, Z] -> [nc*6, Xp2, YZp] ghost-padded."""
+        up = jnp.pad(u, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
+        flat = up.reshape(rows_u, Xp, YZ)
+        return jnp.pad(flat, ((0, 0), (0, Xp2 - Xp), (0, YZp - YZ)))
+
+    def _from_3d(arr):
+        up = arr[:, :Xp, :YZ].reshape(nc, 6, Xp, Yp, Zp)
+        return up[:, :, 1:-1, 1:-1, 1:-1]
+
+    def prepare(radius):
+        r2ps = xla_prepare(radius)                 # [n_e, Xp, Yp, Zp]
+        flat = r2ps.reshape(n_e, Xp, YZ)
+        return jnp.pad(flat, ((0, 0), (0, Xp2 - Xp), (0, YZp - YZ)))
+
+    def _args(flat):
+        return (flat,) * 9
+
+    def _raw_apply(u, r2f):
+        flat = _to_3d(u)
+        return _from_3d(call(*_args(flat), *_args(r2f), coefs_dev))
+
+    def _xla_apply_from_3d(u, r2f):
+        r2ps = r2f[:, :Xp, :YZ].reshape(n_e, Xp, Yp, Zp)
+        return xla_apply(u, r2ps)
+
+    @jax.custom_vjp
+    def apply(u, r2f):
+        return _raw_apply(u, r2f)
+
+    def _fwd(u, r2f):
+        return _raw_apply(u, r2f), (u, r2f)
+
+    def _bwd(res, g):
+        u, r2f = res
+        gu = _raw_apply(g, r2f)                    # K is symmetric in u
+        _, vjp = jax.vjp(lambda a: _xla_apply_from_3d(u, a), r2f)
+        return gu, vjp(g)[0]
+
+    apply.defvjp(_fwd, _bwd)
+
+    def apply_lo(u_lo, r2f_lo):
+        flat = _to_3d(u_lo)
+        return _from_3d(call_lo(*_args(flat), *_args(r2f_lo), coefs_dev))
 
     apply.lo = apply_lo
     apply.prepare_lo = lambda r2f: r2f.astype(jnp.bfloat16)
