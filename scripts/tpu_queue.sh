@@ -29,6 +29,7 @@ run_step bench_default 2400 env BENCH_N=50 BENCH_STARTUP_WAIT=60 python bench.py
 run_step bench_bf16 2400 env BENCH_N=50 BENCH_STARTUP_WAIT=60 PLDSO_MG_BF16=1 python bench.py
 run_step bench_once 2400 env BENCH_N=50 BENCH_STARTUP_WAIT=60 PLDSO_PALLAS_ONCE=1 python bench.py
 run_step bench_once_bf16 2400 env BENCH_N=50 BENCH_STARTUP_WAIT=60 PLDSO_PALLAS_ONCE=1 PLDSO_MG_BF16=1 python bench.py
+run_step bench_2d 2400 env BENCH_N=50 BENCH_STARTUP_WAIT=60 PLDSO_PALLAS_2D=1 python bench.py
 
 # 3. bench-scale accuracy artifact (VERDICT item 7)
 run_step accuracy_n50 1800 env N=50 python scripts/accuracy_tpu.py
