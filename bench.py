@@ -257,9 +257,10 @@ def main():
                       file=sys.stderr)
                 wait_healthy()
                 continue
-            out = proc.stdout.strip()
-            if proc.returncode == 0 and out.startswith("{"):
-                print(out.splitlines()[-1])
+            json_lines = [l for l in proc.stdout.strip().splitlines()
+                          if l.startswith("{")]
+            if proc.returncode == 0 and json_lines:
+                print(json_lines[-1])
                 return
             err_lines = [l for l in proc.stderr.strip().splitlines()
                          if "Error" in l or "rror:" in l][-3:]
