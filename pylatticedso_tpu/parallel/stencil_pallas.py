@@ -562,19 +562,24 @@ def make_pallas_matvec_2d(slat, xla_prepare: Callable, xla_apply: Callable,
     rows_u = nc * 6
 
     def specs_for(rows, xh):
-        """9 neighborhood BlockSpecs for a [rows, Xp2, YZp] operand with an
-        x halo of ``xh`` planes: center (BX, CT), x halos (xh, CT),
-        yz halos (BX, HC), corners (xh, HC) — each clamped at the ends
-        (clamp garbage only reaches ghost outputs)."""
-        XBu = BX // xh                 # x-halo block units per slab
-        nxh = Xp2 // xh - 1            # last x-halo block index
+        """9 neighborhood BlockSpecs for a [rows, Xp2, YZp] operand.
+
+        TPU lowering requires block last-two dims divisible by (8, 128)
+        or equal to the array dims, which forbids xh-plane
+        (rows, xh, CT) halo blocks (xh is 1 or 2).  So x halos and
+        corners fetch the WHOLE neighbor slab — (rows, BX, CT) /
+        (rows, BX, HC), both legal — and the kernel slices out the xh
+        boundary planes it needs.  The kernel is VPU-bound (~62 GB/s
+        effective vs ~800 GB/s HBM), so the extra halo reads are cheap.
+        All maps clamp at the grid ends (clamp garbage only reaches
+        ghost outputs, which _from_3d discards)."""
         nyz = YZp // HC - 1            # last yz-halo block index
 
         def xlo(i):
-            return jnp.maximum(i * XBu - 1, 0)
+            return jnp.maximum(i - 1, 0)
 
         def xhi(i):
-            return jnp.minimum(i * XBu + XBu, nxh)
+            return jnp.minimum(i + 1, gx - 1)
 
         def yzlo(j):
             return jnp.maximum(j * CB - 1, 0)
@@ -586,21 +591,21 @@ def make_pallas_matvec_2d(slat, xla_prepare: Callable, xla_apply: Callable,
         return [
             pl.BlockSpec((rows, BX, CT), lambda i, j: (0, i, j),
                          memory_space=V),
-            pl.BlockSpec((rows, xh, CT), lambda i, j: (0, xlo(i), j),
+            pl.BlockSpec((rows, BX, CT), lambda i, j: (0, xlo(i), j),
                          memory_space=V),
-            pl.BlockSpec((rows, xh, CT), lambda i, j: (0, xhi(i), j),
+            pl.BlockSpec((rows, BX, CT), lambda i, j: (0, xhi(i), j),
                          memory_space=V),
             pl.BlockSpec((rows, BX, HC), lambda i, j: (0, i, yzlo(j)),
                          memory_space=V),
             pl.BlockSpec((rows, BX, HC), lambda i, j: (0, i, yzhi(j)),
                          memory_space=V),
-            pl.BlockSpec((rows, xh, HC), lambda i, j: (0, xlo(i), yzlo(j)),
+            pl.BlockSpec((rows, BX, HC), lambda i, j: (0, xlo(i), yzlo(j)),
                          memory_space=V),
-            pl.BlockSpec((rows, xh, HC), lambda i, j: (0, xlo(i), yzhi(j)),
+            pl.BlockSpec((rows, BX, HC), lambda i, j: (0, xlo(i), yzhi(j)),
                          memory_space=V),
-            pl.BlockSpec((rows, xh, HC), lambda i, j: (0, xhi(i), yzlo(j)),
+            pl.BlockSpec((rows, BX, HC), lambda i, j: (0, xhi(i), yzlo(j)),
                          memory_space=V),
-            pl.BlockSpec((rows, xh, HC), lambda i, j: (0, xhi(i), yzhi(j)),
+            pl.BlockSpec((rows, BX, HC), lambda i, j: (0, xhi(i), yzhi(j)),
                          memory_space=V),
         ]
 
@@ -622,18 +627,22 @@ def make_pallas_matvec_2d(slat, xla_prepare: Callable, xla_apply: Callable,
             def assemble(refs, row0, nrows, xh):
                 """(nrows, BX+2*xh, CT+2*HC) neighborhood of rows
                 [row0, row0+nrows) — leading-dim slices + 2 concats,
-                memoized per (operand, row0)."""
+                memoized per (operand, row0).  Halo blocks are whole
+                neighbor slabs (see specs_for); only their xh boundary
+                planes enter the assembly."""
                 cen, xlo_, xhi_, yzlo_, yzhi_, ll, lh, hl, hh = refs
                 key = (id(cen), row0, nrows)
                 if key in cache:
                     return cache[key]
                 rs = slice(row0, row0 + nrows)
+                lo = slice(BX - xh, BX)       # last xh planes of slab i-1
+                hi = slice(0, xh)             # first xh planes of slab i+1
                 top = jnp.concatenate(
-                    [ll[rs], xlo_[rs], lh[rs]], axis=2)
+                    [ll[rs, lo], xlo_[rs, lo], lh[rs, lo]], axis=2)
                 mid = jnp.concatenate(
                     [yzlo_[rs], cen[rs], yzhi_[rs]], axis=2)
                 bot = jnp.concatenate(
-                    [hl[rs], xhi_[rs], hh[rs]], axis=2)
+                    [hl[rs, hi], xhi_[rs, hi], hh[rs, hi]], axis=2)
                 out = jnp.concatenate([top, mid, bot],
                                       axis=1).astype(jnp.float32)
                 cache[key] = out

@@ -49,8 +49,9 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   step kernel_sweep 1500 "BEST:" python scripts/kernel_sweep_tpu.py &&
   step bench_default 900 '"vs_baseline": [0-9]' env BENCH_N=50 BENCH_STARTUP_WAIT=120 python bench.py &&
   step bench_bf16 900 '"vs_baseline": [0-9]' env BENCH_N=50 BENCH_STARTUP_WAIT=120 PLDSO_MG_BF16=1 python bench.py &&
-  step bench_once 900 '"vs_baseline": [0-9]' env BENCH_N=50 BENCH_STARTUP_WAIT=120 PLDSO_PALLAS_ONCE=1 python bench.py &&
-  step bench_2d 900 '"vs_baseline": [0-9]' env BENCH_N=50 BENCH_STARTUP_WAIT=120 PLDSO_PALLAS_2D=1 python bench.py &&
+  step bench_winner 900 '"vs_baseline": [0-9]' env BENCH_N=50 BENCH_STARTUP_WAIT=120 PLDSO_PALLAS_ONCE=1 PLDSO_PALLAS_ALIGN8=1 python bench.py &&
+  step bench_align8 900 '"vs_baseline": [0-9]' env BENCH_N=50 BENCH_STARTUP_WAIT=120 PLDSO_PALLAS_ALIGN8=1 python bench.py &&
+  step sweep2d_fixed 1500 "BEST\|no 2d results" env TILES=3072 BXCT=8:512,8:1024,16:512 python scripts/kernel_sweep_tpu.py &&
   step accuracy_n50 1500 "PASS\|FAIL" env N=50 python scripts/accuracy_tpu.py &&
   step unstructured_ell 1500 "compliance" python scripts/unstructured_cg_tpu.py &&
   step validate_ddm 2400 "worst_obj_rel" python scripts/validate_ddm_tpu.py &&
