@@ -150,31 +150,61 @@ def main():
         msg += f", rel err vs f64 oracle {err32:.3e}"
     print(msg)
 
-    @jax.jit
-    def solve_refined(b32_, b64_, aux, aux_hi, free, d):
-        free_hi = free.astype(jnp.float64)
-        A = lambda u: free * mv32.apply(free * u, aux) + (1 - free) * u
-        A_hi = lambda u: free_hi * mv64.apply(free_hi * u, aux_hi) \
-            + (1 - free_hi) * u
-        return pcg_refined(A, b32_, M=lambda r: r / d, maxiter=20000,
-                           tol=1e-7, refinements=3,
-                           residual_fn=lambda x: b64_ - A_hi(x))
-
-    t0 = time.time()
-    ref = solve_refined(b32d, b64, aux32, aux64, free32, d32)
-    uref = ref.x.block_until_ready()
-    tref = time.time() - t0
-    resref = float(resid_hi(uref, b64, aux64, free32))
-    msg = f"refined solve: {int(ref.iterations)} total inner iters, " \
-          f"{tref:.1f} s, emulated-f64 rel residual {resref:.3e}"
     if ux is not None:
+        # oracle scale: the monolithic jitted refinement fits one dispatch
+        @jax.jit
+        def solve_refined(b32_, b64_, aux, aux_hi, free, d):
+            free_hi = free.astype(jnp.float64)
+            A = lambda u: free * mv32.apply(free * u, aux) + (1 - free) * u
+            A_hi = lambda u: free_hi * mv64.apply(free_hi * u, aux_hi) \
+                + (1 - free_hi) * u
+            return pcg_refined(A, b32_, M=lambda r: r / d, maxiter=20000,
+                               tol=1e-7, refinements=3,
+                               residual_fn=lambda x: b64_ - A_hi(x))
+
+        t0 = time.time()
+        ref = solve_refined(b32d, b64, aux32, aux64, free32, d32)
+        uref = ref.x.block_until_ready()
+        tref = time.time() - t0
+        resref = float(resid_hi(uref, b64, aux64, free32))
         errref = float(jnp.linalg.norm((uref - ux).ravel())
                        / jnp.linalg.norm(ux.ravel()))
-        msg += f", rel err vs f64 oracle {errref:.3e}"
-        print(msg)
+        print(f"refined solve: {int(ref.iterations)} total inner iters, "
+              f"{tref:.1f} s, emulated-f64 rel residual {resref:.3e}, "
+              f"rel err vs f64 oracle {errref:.3e}")
         print("PASS" if errref <= 1e-8 else "FAIL", "(target 1e-8)")
     else:
-        print(msg)
+        # bench scale: one jitted pcg_refined pass would be a single >60 s
+        # dispatch and the tunnel kills it ("TPU device error").  Run the
+        # refinement loop on the HOST instead — each emulated-f64 residual
+        # and each f32 correction solve is its own bounded dispatch.
+        @jax.jit
+        def resid_vec(x_hi, b64_, aux_hi, free):
+            free_hi = free.astype(jnp.float64)
+            A_hi = lambda u: free_hi * mv64.apply(free_hi * u, aux_hi) \
+                + (1 - free_hi) * u
+            return b64_ - A_hi(x_hi)
+
+        t0 = time.time()
+        x_hi = jnp.zeros_like(b64)
+        total_inner = 0
+        resref = 1.0
+        for k in range(4):
+            rv = resid_vec(x_hi, b64, aux64, free32)
+            resref = float(jnp.linalg.norm(rv.ravel())
+                           / jnp.linalg.norm(b64.ravel()))
+            print(f"  pass {k}: emulated-f64 rel residual {resref:.3e}",
+                  flush=True)
+            if resref <= 1e-8:
+                break
+            out = solve32(rv.astype(jnp.float32), aux32, free32, d32)
+            out.x.block_until_ready()
+            total_inner += int(out.iterations)
+            x_hi = x_hi + out.x.astype(jnp.float64)
+        tref = time.time() - t0
+        print(f"refined solve (host-level passes): {total_inner} total "
+              f"inner iters, {tref:.1f} s, emulated-f64 rel residual "
+              f"{resref:.3e}")
         print(f"refined/f32 cost ratio: {tref / max(t32, 1e-9):.2f}x")
         print("PASS" if resref <= 1e-8 else "FAIL",
               "(residual target 1e-8)")
