@@ -79,7 +79,7 @@ for tile in TILES:
                       flush=True)
             except Exception as e:  # noqa: BLE001 - sweep survives OOMs
                 print(f"{name}: FAILED {type(e).__name__}: "
-                      f"{str(e)[:200]}", flush=True)
+                      f"{str(e)[:2000]}", flush=True)
 os.environ["PLDSO_PALLAS_DENSE"] = "0"
 os.environ["PLDSO_PALLAS_ONCE"] = "0"
 
@@ -101,7 +101,7 @@ for spec in BXCT.split(","):
         results[name] = dt
         print(f"{name}: {dt*1e3:.3f} ms  (err {err:.1e})", flush=True)
     except Exception as e:  # noqa: BLE001 - sweep survives OOMs
-        print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}",
+        print(f"{name}: FAILED {type(e).__name__}: {str(e)[:2000]}",
               flush=True)
 
 if results:

@@ -26,8 +26,12 @@ step() {
   echo "[$(stamp)] try $name (budget ${budget}s)"
   timeout "$budget" "$@" > "$OUT/$name.attempt.log" 2>&1
   local rc=$?
-  # keep the longest attempt so partial sweep results accumulate visibly
-  if [ ! -f "$OUT/$name.log" ] || \
+  # a sentinel-passing attempt ALWAYS becomes the kept log (success output
+  # can be shorter than an earlier failure's log); otherwise keep the
+  # longest attempt so partial sweep results accumulate visibly
+  if grep -q "$sentinel" "$OUT/$name.attempt.log" 2>/dev/null; then
+    cp "$OUT/$name.attempt.log" "$OUT/$name.log"
+  elif [ ! -f "$OUT/$name.log" ] || \
      [ "$(wc -c < "$OUT/$name.attempt.log")" -ge "$(wc -c < "$OUT/$name.log")" ]; then
     cp "$OUT/$name.attempt.log" "$OUT/$name.log"
   fi
