@@ -154,8 +154,9 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
     layout so every class-row window starts on a vreg sublane boundary
     (TPU vregs are (8, 128)): unaligned 6-row slices force a sublane
     relayout on every downstream op.  +33% u-read HBM traffic — the
-    kernel is VPU-bound, so the trade can win.  Default: the
-    PLDSO_PALLAS_ALIGN8 env var.
+    kernel is VPU-bound, so the trade wins (measured on v5e at 50^3:
+    1.32 ms vs 1.45 ms per matvec; bench 0.240 vs 0.302 s/iter).
+    Default ON; disable with PLDSO_PALLAS_ALIGN8=0.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -169,7 +170,7 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
             pass                      # unsupported template: 1-D fallback
 
     if align8 is None:
-        align8 = _os.environ.get("PLDSO_PALLAS_ALIGN8") == "1"
+        align8 = _os.environ.get("PLDSO_PALLAS_ALIGN8", "1") == "1"
     dense = _os.environ.get("PLDSO_PALLAS_DENSE") == "1"
     # compute-per-edge-once (implies the dense form): generalized strains
     # and internal forces are evaluated ONCE per template edge on an

@@ -10,12 +10,18 @@ from pylatticedso_tpu.parallel.stencil_pallas import (make_pallas_matvec,
                                                       pallas_supported)
 
 
-@pytest.mark.parametrize("geom,n", [("BCC", 5), ("Octet", 4)])
-def test_pallas_matches_gather(geom, n):
+@pytest.mark.parametrize("geom,n,align8", [("BCC", 5, False),
+                                           ("BCC", 5, True),
+                                           ("Octet", 4, True)])
+def test_pallas_matches_gather(geom, n, align8, monkeypatch):
+    if align8 and geom == "Octet":
+        # sweep winner on hardware: compute-per-edge-once + align8
+        monkeypatch.setenv("PLDSO_PALLAS_ONCE", "1")
     slat = StructuredLattice(geom, (n, n, n), (1.0, 1.0, 1.0), 1013.0, 0.3)
     mv, _ = slat.make_matvec()
     prep_p, apply_p = make_pallas_matvec(slat, mv.prepare, mv.apply,
-                                         tile=1024, interpret=True)
+                                         tile=1024, interpret=True,
+                                         align8=align8)
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.standard_normal((slat.nc, 6) + slat.grid), jnp.float32)
     r = jnp.asarray(0.04 + 0.05 * rng.random((n, n, n)), jnp.float32)
