@@ -72,17 +72,29 @@ def run_structured(n: int):
     c, g, u = step(r0, None, pstate)
     jax.block_until_ready((c, g, u))
     K_STEPS = int(os.environ.get("BENCH_STEPS", "8"))
+    # the tunneled TPU's throughput flaps by up to ~6x on a minutes scale:
+    # time BENCH_REPEATS descent windows and keep the BEST one (min), the
+    # standard protocol for a noisy timer — the artifact should measure the
+    # machine, not the tunnel weather.  Every window RESTARTS from the same
+    # warm state u(r0) with a per-window distinct radius perturbation, so
+    # windows do identical CG work (a window that kept descending would
+    # converge and time near-no-op solves) while the dispatch sequences stay
+    # distinct (the tunnel memoizes repeated identical executions).
+    REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
     lr = 1e-4
-    t1 = time.time()
-    rr = r0 * 1.001
-    cc, uu = c, u
-    for k in range(K_STEPS):
-        if pstate is not None and refresh > 0 and k > 0 and k % refresh == 0:
-            pstate = step.precond_state(rr)
-        cc, gg, uu = step(rr, uu, pstate)  # warm-started, frozen M
-        rr = jnp.clip(rr - lr * gg, 0.01, 0.1)
-    jax.block_until_ready((cc, rr))
-    total = time.time() - t1
+    windows = []
+    for rep in range(REPEATS):
+        rr = r0 * (1.0 + 1e-3 * (rep + 1))
+        cc, uu = c, u
+        t1 = time.time()
+        for k in range(K_STEPS):
+            if pstate is not None and refresh > 0 and k > 0 and k % refresh == 0:
+                pstate = step.precond_state(rr)
+            cc, gg, uu = step(rr, uu, pstate)  # warm-started, frozen M
+            rr = jnp.clip(rr - lr * gg, 0.01, 0.1)
+        jax.block_until_ready((cc, rr))
+        windows.append(time.time() - t1)
+    total = min(windows)
     sec = total / K_STEPS
     print(json.dumps({
         "metric": f"{n}^3 {geom} ({dofs} DOF, {sl.n_edges} beams, structured "
@@ -95,6 +107,7 @@ def run_structured(n: int):
             "final_compliance": float(cc),
             "descent_steps_timed": K_STEPS,
             "total_loop_s": round(total, 3),
+            "window_s": [round(w, 3) for w in windows],
             "host_build_s": round(build_s, 2),
             "cg_tol": tol,
             "precond": precond,

@@ -38,6 +38,7 @@ of the adjoint solve), not once per CG iteration, so its cost is noise.
 
 from __future__ import annotations
 
+import sys
 from functools import partial
 from typing import Callable, List, Optional, Tuple
 
@@ -178,7 +179,11 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
     # are static slices of it — ~eliminates half the strain-stage VPU work
     # for edges whose flat shift |du| << T (all dx=0 edges: |du| <= Zp+1).
     # Edges with |du| > T//2 fall back to the two-sided form.
-    once = _os.environ.get("PLDSO_PALLAS_ONCE") == "1"
+    # Default ON (with align8 the extended windows fit scoped VMEM; plain
+    # once does NOT — measured v5e 50^3: 1.224 ms/matvec vs 1.32 align8,
+    # bench 0.163 vs 0.173 s/iter).  PLDSO_PALLAS_ONCE=0 restores the
+    # two-sided form.
+    once = _os.environ.get("PLDSO_PALLAS_ONCE", "1") == "1"
     dense = dense or once
 
     X, Y, Z = slat.grid
@@ -194,11 +199,54 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
     # adaptive tile: single-program when the whole field fits one tile
     # (coarse multigrid levels), else the VMEM-sized default
     T = min(int(tile), -(-F // 128) * 128)
-    T = max(T, -(-(H + 1) // 128) * 128)
+    Tmin = -(-(H + 1) // 128) * 128
+    T = max(T, Tmin)
     if T <= H:
         raise ValueError(f"tile {T} must exceed halo {H}")
+
+    # Scoped-VMEM fit model (Mosaic budget is 16 MB): double-buffered
+    # pipeline blocks + kernel stack (windows/strain/force temporaries,
+    # ~alpha bytes per edge-window column; alpha calibrated on v5e remote
+    # AOT numbers: hybrid nc=16/n_e=70 at T=3072 measured 34.97M scoped,
+    # Octet once+align8 at T=3072 fits).  Pick the LARGEST tile that
+    # fits, preferring the compute-once form; a template too wide to fit
+    # at any tile > halo raises ValueError (caller falls back to the XLA
+    # gather form — hybrid lattices at large N, where the x-halo alone
+    # forces T > 2800 and the 16-class operand blocks exceed the budget).
+    def _vmem_est(Tc, once_flag):
+        blocks = 4 * Tc * (3 * rows_in + 3 * n_e + rows_u) * 2
+        w = 0
+        for rr in recs:
+            if rr["side"]:
+                continue
+            duw = abs(rr["du"])
+            w += (Tc + duw) if (once_flag and duw <= Tc // 2) else 2 * Tc
+        return blocks + 19.0 * 4.0 * w
+
+    budget = float(_os.environ.get("PLDSO_PALLAS_VMEM_BUDGET", "14e6"))
+    sel = None
+    for once_try in ([True, False] if once else [False]):
+        for Tc in range(T, Tmin - 1, -128):
+            if _vmem_est(Tc, once_try) <= budget:
+                sel = (Tc, once_try)
+                break
+        if sel is not None:
+            break
+    if sel is None:
+        raise ValueError(
+            f"stencil template (nc={nc}, n_e={n_e}, halo {H}) does not fit "
+            f"the scoped-VMEM budget at any tile in [{Tmin}, {T}]: "
+            f"min estimate {_vmem_est(Tmin, False)/1e6:.1f}M > "
+            f"{budget/1e6:.1f}M")
+    T, once = sel
+    dense = _os.environ.get("PLDSO_PALLAS_DENSE") == "1" or once
     nprog = -(-F // T)
     Fp = nprog * T
+    if _os.environ.get("PLDSO_PALLAS_DEBUG") == "1":
+        print(f"# pallas stencil: grid={slat.grid} nc={nc} n_e={n_e} "
+              f"halo={H} tile={T} nprog={nprog} once={once} "
+              f"align8={align8} vmem_est={_vmem_est(T, once)/1e6:.1f}M",
+              file=sys.stderr)
 
     E_mod, nu, kappa = slat.E_mod, slat.nu, slat.kappa
     G_mod = E_mod / (2.0 * (1.0 + nu))

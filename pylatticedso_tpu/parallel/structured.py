@@ -457,15 +457,21 @@ class StructuredLattice:
         if mode == "pallas":
             from .stencil_pallas import make_pallas_matvec, pallas_supported
             if pallas_supported(self) and self.dtype == jnp.float32:
-                prep_p, apply_p = make_pallas_matvec(
-                    self, prepare_gather, apply_gather)
+                try:
+                    prep_p, apply_p = make_pallas_matvec(
+                        self, prepare_gather, apply_gather)
+                except ValueError:
+                    # template too wide for the scoped-VMEM budget at any
+                    # legal tile (e.g. 16-class hybrids at large N, where
+                    # the x-halo forces tile > 2800)
+                    prep_p = apply_p = None
+                if apply_p is not None:
+                    def matvec_pallas(u, radius):
+                        return apply_p(u, prep_p(radius))
 
-                def matvec_pallas(u, radius):
-                    return apply_p(u, prep_p(radius))
-
-                matvec_pallas.prepare = prep_p
-                matvec_pallas.apply = apply_p
-                return matvec_pallas, diag
+                    matvec_pallas.prepare = prep_p
+                    matvec_pallas.apply = apply_p
+                    return matvec_pallas, diag
             mode = "gather"          # tiny (coarse) grids: XLA form wins
         if mode == "gather":
             matvec_gather.prepare = prepare_gather
