@@ -103,6 +103,10 @@ def run_structured(n: int):
         "unit": "s",
         "vs_baseline": round(1.0 / sec, 3),
         "extra": {
+            # round 1-2 artifacts timed ONE window; min-of-REPEATS reads
+            # systematically lower — compare across rounds via window_s,
+            # which keeps every raw window
+            "protocol": f"min of {REPEATS} windows x {K_STEPS} steps",
             "dofs_per_sec": round(dofs / sec, 1),
             "final_compliance": float(cc),
             "descent_steps_timed": K_STEPS,

@@ -184,6 +184,14 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
     # bench 0.163 vs 0.173 s/iter).  PLDSO_PALLAS_ONCE=0 restores the
     # two-sided form.
     once = _os.environ.get("PLDSO_PALLAS_ONCE", "1") == "1"
+    # the VMEM model below is calibrated for the align8 layout; without it
+    # the unaligned 6-row extended windows add relayout temporaries the
+    # model cannot see (the estimate DROPS to 11.6M while real usage rises
+    # to a measured 17.09M scoped for Octet 50^3 once@T=3072, failing
+    # remote AOT compile — data/outputs/tpu_queue/bench_once.log), so the
+    # compute-once form is only offered on the aligned layout
+    if not align8:
+        once = False
     dense = dense or once
 
     X, Y, Z = slat.grid
@@ -224,14 +232,25 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
         return blocks + 19.0 * 4.0 * w
 
     budget = float(_os.environ.get("PLDSO_PALLAS_VMEM_BUDGET", "14e6"))
-    sel = None
-    for once_try in ([True, False] if once else [False]):
+
+    def _best_tile(once_flag):
         for Tc in range(T, Tmin - 1, -128):
-            if _vmem_est(Tc, once_try) <= budget:
-                sel = (Tc, once_try)
-                break
-        if sel is not None:
-            break
+            if _vmem_est(Tc, once_flag) <= budget:
+                return Tc
+        return None
+
+    # prefer compute-once only when its largest fitting tile is at least
+    # half the two-sided one (launch count within 2x): once at a much
+    # smaller tile means many more programs, whose fixed costs can exceed
+    # the strain-stage savings
+    t_two = _best_tile(False)
+    t_once = _best_tile(True) if once else None
+    if t_once is not None and (t_two is None or 2 * t_once >= t_two):
+        sel = (t_once, True)
+    elif t_two is not None:
+        sel = (t_two, False)
+    else:
+        sel = None
     if sel is None:
         raise ValueError(
             f"stencil template (nc={nc}, n_e={n_e}, halo {H}) does not fit "

@@ -463,7 +463,11 @@ class StructuredLattice:
                 except ValueError:
                     # template too wide for the scoped-VMEM budget at any
                     # legal tile (e.g. 16-class hybrids at large N, where
-                    # the x-halo forces tile > 2800)
+                    # the x-halo forces tile > 2800).  NOTE: this guards
+                    # only the construction-time VMEM estimate; raising
+                    # PLDSO_PALLAS_VMEM_BUDGET (or other env overrides)
+                    # past the calibrated model surfaces later as a
+                    # remote-compile JaxRuntimeError with no fallback.
                     prep_p = apply_p = None
                 if apply_p is not None:
                     def matvec_pallas(u, radius):

@@ -10,13 +10,14 @@ from pylatticedso_tpu.parallel.stencil_pallas import (make_pallas_matvec,
                                                       pallas_supported)
 
 
-@pytest.mark.parametrize("geom,n,align8", [("BCC", 5, False),
-                                           ("BCC", 5, True),
-                                           ("Octet", 4, True)])
-def test_pallas_matches_gather(geom, n, align8, monkeypatch):
-    if align8 and geom == "Octet":
-        # sweep winner on hardware: compute-per-edge-once + align8
-        monkeypatch.setenv("PLDSO_PALLAS_ONCE", "1")
+@pytest.mark.parametrize("geom,n,align8,once", [
+    ("BCC", 5, False, "0"),   # unaligned layout (once is forced off there)
+    ("BCC", 5, True, "0"),    # two-sided kernel on the aligned layout
+    ("BCC", 5, True, "1"),
+    ("Octet", 4, True, "1"),  # sweep winner on hardware: once + align8
+])
+def test_pallas_matches_gather(geom, n, align8, once, monkeypatch):
+    monkeypatch.setenv("PLDSO_PALLAS_ONCE", once)
     slat = StructuredLattice(geom, (n, n, n), (1.0, 1.0, 1.0), 1013.0, 0.3)
     mv, _ = slat.make_matvec()
     prep_p, apply_p = make_pallas_matvec(slat, mv.prepare, mv.apply,
