@@ -175,6 +175,63 @@ class ShardedLattice:
         return jax.ops.segment_sum(contrib, idx, num_segments=self.n_nodes)
 
 
+_TRI6 = [(i, j) for i in range(6) for j in range(i + 1)]   # 21 lower entries
+
+
+def _block_jacobi_inverse(A):
+    """Explicit inverse of a symmetric-positive 6x6 block given as a python
+    6x6 list of SAME-SHAPE arrays (one lane per node) — unrolled vector
+    Cholesky, so every element stays an [N]-shaped lane array and nothing
+    materializes an [N, 6, 6] buffer (which would tile-pad to (8, 128):
+    the TPU layout trap documented in make_compliance_step).
+
+    Returns the 21 lower-triangle entries of B^-1 in _TRI6 order.
+    """
+    L = [[None] * 6 for _ in range(6)]
+    for j in range(6):
+        s = A[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+        for i in range(j + 1, 6):
+            s = A[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s / L[j][j]
+    Li = [[None] * 6 for _ in range(6)]          # L^-1 (lower)
+    for j in range(6):
+        Li[j][j] = 1.0 / L[j][j]
+        for i in range(j + 1, 6):
+            s = L[i][j] * Li[j][j]
+            for k in range(j + 1, i):
+                s = s + L[i][k] * Li[k][j]
+            Li[i][j] = -s / L[i][i]
+    out = []
+    for i, j in _TRI6:                           # B^-1 = L^-T L^-1
+        s = None
+        for k in range(i, 6):                    # k >= i >= j
+            term = Li[k][i] * Li[k][j]
+            s = term if s is None else s + term
+        out.append(s)
+    return out
+
+
+def _block_apply(Binv21, r6):
+    """M^-1 r for the stacked [21, ...] inverse-block entries and a [6, N]
+    column field: 36 lane multiply-adds, no dot_general."""
+    ix = {}
+    for n, (i, j) in enumerate(_TRI6):
+        ix[(i, j)] = n
+        ix[(j, i)] = n
+    rows = []
+    for i in range(6):
+        s = Binv21[ix[(i, 0)]] * r6[0]
+        for j in range(1, 6):
+            s = s + Binv21[ix[(i, j)]] * r6[j]
+        rows.append(s)
+    return jnp.stack(rows)
+
+
 def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
                          f_ext: np.ndarray, tol: float = 1e-6,
                          maxiter: int = 4000,
@@ -269,6 +326,69 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
             out = out + c[:, ell[k]]
         return out
 
+    use_block = (preconditioner == "block_jacobi"
+                 and _os.environ.get("PLDSO_UNSTRUCTURED_PRECOND",
+                                     "block_jacobi") == "block_jacobi")
+
+    def _block_factors(radius, tT, a1T, a2T, Lv, validv, e0_ids, e1_ids,
+                       free):
+        """Stacked [21, N] inverse node-block entries (block Jacobi).
+
+        Assembles each node's 6x6 self-block of the free-masked operator in
+        COLUMN layout (per-entry [E] lanes, two [21, N] column scatter-adds
+        — the fast scatter form on TPU) and inverts it with the unrolled
+        vector Cholesky.  Couplings between translations and rotations that
+        scalar Jacobi discards typically buy 2-4x fewer CG iterations on
+        slender lattices (cf. tests/test_sharding.py:
+        test_block_jacobi_not_slower_than_jacobi).
+        """
+        r2 = radius * radius
+        S = jnp.pi * r2 * validv
+        I = jnp.pi * r2 * r2 / 4.0
+        DL = [E_mod * S, kappa * G_mod * S, kappa * G_mod * S,
+              G_mod * 2.0 * I * validv, E_mod * I * validv,
+              E_mod * I * validv]
+        DL = [d * Lv for d in DL]
+        invL = 1.0 / Lv
+        z = jnp.zeros_like(Lv)
+        # strain rows x dof cols, endpoint-1 column block (see node_blocks)
+        B = [
+            [-tT[0] * invL, -tT[1] * invL, -tT[2] * invL, z, z, z],
+            [-a1T[0] * invL, -a1T[1] * invL, -a1T[2] * invL,
+             -a2T[0] * 0.5, -a2T[1] * 0.5, -a2T[2] * 0.5],
+            [-a2T[0] * invL, -a2T[1] * invL, -a2T[2] * invL,
+             a1T[0] * 0.5, a1T[1] * 0.5, a1T[2] * 0.5],
+            [z, z, z, -tT[0] * invL, -tT[1] * invL, -tT[2] * invL],
+            [z, z, z, -a1T[0] * invL, -a1T[1] * invL, -a1T[2] * invL],
+            [z, z, z, -a2T[0] * invL, -a2T[1] * invL, -a2T[2] * invL],
+        ]
+        sgn = [1.0, 1.0, 1.0, -1.0, -1.0, -1.0]
+        V1 = []
+        V2 = []
+        for i, j in _TRI6:
+            s = DL[0] * B[0][i] * B[0][j]
+            for k in range(1, 6):
+                s = s + DL[k] * B[k][i] * B[k][j]
+            V1.append(s)
+            V2.append((sgn[i] * sgn[j]) * s)     # endpoint-2 self-block
+        NB = jnp.zeros((21, n_nodes), Lv.dtype)
+        NB = NB.at[:, e0_ids].add(jnp.stack(V1))
+        NB = NB.at[:, e1_ids].add(jnp.stack(V2))
+        freeT = jnp.transpose(free.reshape(n_nodes, 6))
+        ix = {}
+        for n, (i, j) in enumerate(_TRI6):
+            ix[(i, j)] = n
+            ix[(j, i)] = n
+        A = [[None] * 6 for _ in range(6)]
+        for i in range(6):
+            for j in range(6):
+                a = freeT[i] * freeT[j] * NB[ix[(i, j)]]
+                if i == j:
+                    a = a + (1.0 - freeT[i])
+                    a = jnp.where(a == 0, 1.0, a)   # orphan nodes -> identity
+                A[i][j] = a
+        return jnp.stack(_block_jacobi_inverse(A))
+
     def compliance(radius, tT, a1T, a2T, Lv, validv, e0_ids, e1_ids,
                    ell_ids, free, f):
         r2 = radius * radius
@@ -304,17 +424,22 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
             c2 = jnp.concatenate([fu, msh + mdf])
             return assemble_out(c1, c2, ell_ids, e0_ids, e1_ids)
 
-        # scalar Jacobi diagonal in the same column layout
-        t2, a12, a22 = tT * tT, a1T * a1T, a2T * a2T
-        d_u = (ES * t2 + kGS * (a12 + a22)) * invL            # [3, E]
-        d_th = (kGS * (a22 + a12)) * (Lv * 0.25) \
-            + (GJ * t2 + EI * (a12 + a22)) * invL
-        dvec = jnp.concatenate([d_u, d_th])                   # [6, E]
-        diag = jnp.zeros((6, n_nodes), dvec.dtype)
-        diag = diag.at[:, e0_ids].add(dvec).at[:, e1_ids].add(dvec)
-        diag = freeT * diag + (1.0 - freeT)
-        diag = jnp.where(diag == 0, 1.0, diag)
-        M = lambda r_: r_ / diag
+        if use_block:
+            Binv = _block_factors(jax.lax.stop_gradient(radius), tT, a1T,
+                                  a2T, Lv, validv, e0_ids, e1_ids, free)
+            M = lambda r_: _block_apply(Binv, r_)
+        else:
+            # scalar Jacobi diagonal in the same column layout
+            t2, a12, a22 = tT * tT, a1T * a1T, a2T * a2T
+            d_u = (ES * t2 + kGS * (a12 + a22)) * invL        # [3, E]
+            d_th = (kGS * (a22 + a12)) * (Lv * 0.25) \
+                + (GJ * t2 + EI * (a12 + a22)) * invL
+            dvec = jnp.concatenate([d_u, d_th])               # [6, E]
+            diag = jnp.zeros((6, n_nodes), dvec.dtype)
+            diag = diag.at[:, e0_ids].add(dvec).at[:, e1_ids].add(dvec)
+            diag = freeT * diag + (1.0 - freeT)
+            diag = jnp.where(diag == 0, 1.0, diag)
+            M = lambda r_: r_ / diag
 
         def A(u6):
             return freeT * matvec(freeT * u6) + (1.0 - freeT) * u6
@@ -408,22 +533,27 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
             c2 = jnp.concatenate([fu, msh + mdf])
             return assemble_out(c1, c2, ell_ids, e0_ids, e1_ids)
 
-        t2, a12, a22 = tT * tT, a1T * a1T, a2T * a2T
-        d_u = (ES * t2 + kGS * (a12 + a22)) * invL
-        d_th = (kGS * (a22 + a12)) * (Lv * 0.25) \
-            + (GJ * t2 + EI * (a12 + a22)) * invL
-        dvec = jnp.concatenate([d_u, d_th])
-        diag = jnp.zeros((6, n_nodes), dvec.dtype)
-        diag = diag.at[:, e0_ids].add(dvec).at[:, e1_ids].add(dvec)
-        diag = freeT * diag + (1.0 - freeT)
-        diag = jnp.where(diag == 0, 1.0, diag)
+        if use_block:
+            Binv = _block_factors(radius, tT, a1T, a2T, Lv, validv,
+                                  e0_ids, e1_ids, free)
+            M = lambda r_: _block_apply(Binv, r_)
+        else:
+            t2, a12, a22 = tT * tT, a1T * a1T, a2T * a2T
+            d_u = (ES * t2 + kGS * (a12 + a22)) * invL
+            d_th = (kGS * (a22 + a12)) * (Lv * 0.25) \
+                + (GJ * t2 + EI * (a12 + a22)) * invL
+            dvec = jnp.concatenate([d_u, d_th])
+            diag = jnp.zeros((6, n_nodes), dvec.dtype)
+            diag = diag.at[:, e0_ids].add(dvec).at[:, e1_ids].add(dvec)
+            diag = freeT * diag + (1.0 - freeT)
+            diag = jnp.where(diag == 0, 1.0, diag)
+            M = lambda r_: r_ / diag
 
         def A(u6):
             return freeT * matvec(freeT * u6) + (1.0 - freeT) * u6
 
         b = freeT * fT
-        out = _pcg(A, b, M=lambda r_: r_ / diag, x0=u0, maxiter=chunk,
-                   tol=tol)
+        out = _pcg(A, b, M=M, x0=u0, maxiter=chunk, tol=tol)
         return out.x, out.converged, out.residual_norm
 
     chunk_jit = jax.jit(_chunk_body, static_argnums=12)
@@ -462,10 +592,16 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
     grad_jit = jax.jit(_grad_q)
 
     def step_chunked(radius_padded, u0=None, chunk: int = 256,
-                     max_chunks: int = 64):
+                     max_chunks: int = 64, on_fail: str = "raise"):
         """(compliance, grad, u, n_iters): tunnel-safe warm-startable
         solve + self-adjoint gradient.  ``u0``/returned ``u`` are [6, N]
-        column-layout fields."""
+        column-layout fields.
+
+        Non-convergence within ``max_chunks * chunk`` iterations RAISES by
+        default — a gradient from an unconverged field silently poisons an
+        optimization loop; pass ``on_fail="warn"`` to get the r3 behavior
+        (RuntimeWarning + best-effort gradient).
+        """
         u = jnp.zeros((6, n_nodes), dtype=shl.dtype) if u0 is None else u0
         iters = 0
         converged, res = False, None
@@ -477,12 +613,17 @@ def make_compliance_step(shl: ShardedLattice, free_mask: np.ndarray,
             if converged:
                 break
         if not converged:
+            msg = (f"step.chunked: CG did not converge within "
+                   f"{max_chunks * chunk} iterations (residual "
+                   f"{float(res):.3e}, tol {tol:g})")
+            if on_fail != "warn":
+                raise RuntimeError(
+                    msg + "; raise max_chunks/chunk, loosen tol, or pass "
+                          "on_fail='warn' to accept the unconverged field.")
             import warnings
             warnings.warn(
-                f"step.chunked: CG did not converge within "
-                f"{max_chunks * chunk} iterations (residual "
-                f"{float(res):.3e}); the returned gradient is computed "
-                f"from the unconverged displacement field.",
+                msg + "; the returned gradient is computed from the "
+                      "unconverged displacement field.",
                 RuntimeWarning, stacklevel=2)
         step_chunked.last_converged = converged
         step_chunked.last_residual = float(res) if res is not None else None

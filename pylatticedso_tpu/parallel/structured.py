@@ -449,6 +449,43 @@ class StructuredLattice:
                 out = out.at[(cb,) + sxb].add(dvec)
             return out
 
+        def energy_dr2(uf, r2s):
+            """Analytic d(u^T K u)/d(r^2) per edge-template instance.
+
+            u^T K u = sum_e (ES e0^2 + kGS (e1^2+e2^2) + GJ e3^2
+                             + EI (e4^2+e5^2)) L_e with S = pi r^2,
+            I = pi r^4 / 4 (the validated strain-energy form of
+            sharding._grad_q), so the r^2-derivative is one ELEMENTWISE
+            stencil pass over the strains — no transpose of the matvec:
+              dq/dr2 = pi L [E e0^2 + kG (e1^2+e2^2) + G r2 e3^2
+                             + E r2 / 2 (e4^2+e5^2)].
+            Combined with the (cheap, scalar-field) VJP of ``_sections``
+            this replaces the 28 ms autodiff pass through prepare+apply
+            with a ~1-matvec-cost forward pass (profile_step_tpu.py).
+            """
+            out = []
+            for (t, a1, a2, L, ca, cb, oa, ob, ext, _cr, _iv), r2 in zip(
+                    consts, r2s):
+                invL = 1.0 / L
+                sxa, sxb = _slices(ca, cb, oa, ob, ext)
+                uA = uf[ca][sxa]
+                uB = uf[cb][sxb]
+                du = uB[:3] - uA[:3]
+                ths = uA[3:] + uB[3:]
+                dth = uB[3:] - uA[3:]
+                dot = lambda V, w: (V * w[:, None, None, None]).sum(0)
+                e0 = dot(du, t) * invL
+                e1 = dot(du, a1) * invL - dot(ths, a2) * 0.5
+                e2 = dot(du, a2) * invL + dot(ths, a1) * 0.5
+                e3 = dot(dth, t) * invL
+                e4 = dot(dth, a1) * invL
+                e5 = dot(dth, a2) * invL
+                out.append((jnp.pi * L) * (
+                    E_mod * e0 * e0 + kappa * G_mod * (e1 * e1 + e2 * e2)
+                    + G_mod * r2 * e3 * e3
+                    + (0.5 * E_mod) * r2 * (e4 * e4 + e5 * e5)))
+            return out
+
         def matvec_gather(u, radius):
             return apply_gather(u, prepare_gather(radius))
 
@@ -475,12 +512,18 @@ class StructuredLattice:
 
                     matvec_pallas.prepare = prep_p
                     matvec_pallas.apply = apply_p
+                    matvec_pallas.sections = _sections
+                    matvec_pallas.energy_dr2 = energy_dr2
                     return matvec_pallas, diag
             mode = "gather"          # tiny (coarse) grids: XLA form wins
         if mode == "gather":
             matvec_gather.prepare = prepare_gather
             matvec_gather.apply = apply_gather
+            matvec_gather.sections = _sections
+            matvec_gather.energy_dr2 = energy_dr2
             return matvec_gather, diag
+        matvec.sections = _sections
+        matvec.energy_dr2 = energy_dr2
         return matvec, diag
 
 
@@ -575,16 +618,28 @@ def make_structured_compliance_step(slat: StructuredLattice,
 
     # self-adjoint fast path: for pure compliance with zero imposed
     # displacements, the adjoint equals the primal solution (A symmetric,
-    # rhs == objective cotangent), so dc/dtheta = -u.(dA/dtheta).u — ONE
-    # differentiated matvec instead of a second CG solve.  The reference
-    # exploits the same identity (u^T dS/dr u per-cell compliance terms,
-    # lattice_opti.py:701-760).  Off by default: with warm starts the
-    # adjoint CG re-solve converges in a handful of iterations, and the
-    # implicit-diff path measures FASTER on TPU (0.275 vs 0.355 s per 50^3
-    # descent step) than this path's extra prepare/apply VJP pass.
+    # rhs == objective cotangent), so the gradient needs NO second CG
+    # solve.  The reference exploits the same identity (u^T dS/dr u
+    # per-cell compliance terms, lattice_opti.py:701-760).  Two gradient
+    # forms:
+    #   * "analytic" (DEFAULT when eligible): the closed-form energy
+    #     derivative pass (matvec.energy_dr2) + the scalar-field VJP of
+    #     ``_sections`` — ~1 matvec of work.  The r3 autodiff variant
+    #     through prepare+apply cost 28 ms/step at 50^3 (profile_step)
+    #     and made self-adjoint SLOWER than implicit-diff; this one
+    #     removes both the adjoint solve and the autodiff pass.
+    #   * PLDSO_GRAD=implicit: implicit differentiation through
+    #     custom_linear_solve (warm-started adjoint CG re-solve) —
+    #     required for non-compliance objectives / imposed displacements,
+    #     kept as an A/B switch for the default case.
+    #   * PLDSO_SELFADJOINT=1 (legacy r3 switch): self-adjoint with the
+    #     autodiff prepare+apply VJP.
     import os as _os
-    selfadjoint = (default_objective and u_imposed is None
-                   and _os.environ.get("PLDSO_SELFADJOINT") == "1")
+    sa_eligible = (default_objective and u_imposed is None)
+    grad_mode = _os.environ.get("PLDSO_GRAD", "analytic")
+    selfadjoint = sa_eligible and _os.environ.get("PLDSO_SELFADJOINT") == "1"
+    analytic = (sa_eligible and not selfadjoint and grad_mode == "analytic"
+                and hasattr(matvec, "energy_dr2"))
 
     def _sa_step(radius_field, u0):
         u = _solve(jax.lax.stop_gradient(radius_field), free, f, u0)
@@ -602,6 +657,31 @@ def make_structured_compliance_step(slat: StructuredLattice,
 
     sa_jit = jax.jit(_sa_step) if selfadjoint else None
 
+    def _analytic_grad(radius_field, uf):
+        # NOTE: uf = free * u computed by the caller — big operands enter
+        # jitted code as arguments, never closure captures (module rule)
+        rsg = jax.lax.stop_gradient(radius_field)
+        dq = [jax.lax.stop_gradient(x)
+              for x in matvec.energy_dr2(uf, matvec.sections(rsg))]
+
+        def inner(rf):
+            tot = None
+            for d_, r2 in zip(dq, matvec.sections(rf)):
+                s = jnp.sum(d_ * r2)
+                tot = s if tot is None else tot + s
+            return tot
+
+        return -jax.grad(inner)(radius_field)
+
+    def _sa_analytic(radius_field, free, f, u0, pstate=None):
+        u = _solve(jax.lax.stop_gradient(radius_field), free, f, u0, pstate)
+        u = jax.lax.stop_gradient(u)
+        return jnp.sum(f * u), _analytic_grad(radius_field, free * u), u
+
+    sa_an = jax.jit(_sa_analytic) if analytic else None
+    sa_an_frozen = jax.jit(lambda r, fr, f_, u0, ps:
+                           _sa_analytic(r, fr, f_, u0, ps)) if analytic else None
+
     def step(radius_field, u0=None, precond_state=None):
         """Returns (compliance, grad, u); pass the previous step's u as
         ``u0`` to warm-start the solves (fewer CG iterations in a descent
@@ -613,8 +693,12 @@ def make_structured_compliance_step(slat: StructuredLattice,
         if u0 is None:
             u0 = jnp.zeros_like(f)
         if precond_state is not None and mg_hier is not None:
+            if sa_an_frozen is not None:
+                return sa_an_frozen(radius_field, free, f, u0, precond_state)
             (c, u), g = vag_frozen(radius_field, free, f, u0, precond_state)
             return c, g, u
+        if sa_an is not None:
+            return sa_an(radius_field, free, f, u0)
         if sa_jit is not None:
             return sa_jit(radius_field, u0)
         (c, u), g = vag(radius_field, free, f, u0)

@@ -134,6 +134,31 @@ grad_r(r0).block_until_ready()
 t_vjp = time.time() - t0
 print(f"radius VJP:      {t_vjp*1e3:7.1f} ms", flush=True)
 
+
+# analytic energy-derivative gradient (the default step path since r4):
+# closed-form dq/dr2 forward pass + the scalar-field VJP of _sections
+@jax.jit
+def grad_analytic(r_, uf_):
+    rsg = jax.lax.stop_gradient(r_)
+    dq = [jax.lax.stop_gradient(x)
+          for x in matvec.energy_dr2(uf_, matvec.sections(rsg))]
+
+    def inner(rf):
+        tot = None
+        for d_, r2 in zip(dq, matvec.sections(rf)):
+            s = jnp.sum(d_ * r2)
+            tot = s if tot is None else tot + s
+        return tot
+
+    return -jax.grad(inner)(r_)
+
+
+grad_analytic(r0, uf).block_until_ready()
+t0 = time.time()
+grad_analytic(r0, uf).block_until_ready()
+t_an = time.time() - t0
+print(f"analytic grad:   {t_an*1e3:7.1f} ms", flush=True)
+
 # prepare (radius -> aux) cost, paid twice per step (primal + VJP path)
 t0 = time.time()
 jax.block_until_ready(jax.jit(matvec.prepare)(r1))
@@ -142,8 +167,10 @@ print(f"prepare:         {t_prep*1e3:7.1f} ms (dispatch-dominated, "
       "one-off)", flush=True)
 
 expected = 2 * t_warm + t_vjp
-print(f"expected step ~= 2*warm + VJP = {expected*1e3:.1f} ms "
-      f"(bench measured ~240 ms)", flush=True)
+print(f"expected step (implicit diff) ~= 2*warm + VJP = "
+      f"{expected*1e3:.1f} ms", flush=True)
+print(f"expected step (analytic SA)   ~= warm + analytic = "
+      f"{(t_warm + t_an)*1e3:.1f} ms", flush=True)
 print(f"per-CG-iter budget: matvec {t_mv*1e3:.2f} + V-cycle {t_M*1e3:.2f} "
       f"+ vector ops => measured {t_warm/max(it_warm,1)*1e3:.2f} ms/iter",
       flush=True)

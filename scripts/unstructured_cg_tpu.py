@@ -52,14 +52,18 @@ print(f"{FORM}: N={N}, {E} edges, {6 * shl.n_nodes} DOF "
 
 radius = shl.radius_padded(np.full(E, 0.05, np.float32))
 
-# one warm-up chunk (compile + converge-state setup), then timed chunks
+# one warm-up chunk (compile + converge-state setup), then timed chunks.
+# This is a per-iteration timing probe, not a converged solve — accept the
+# unconverged field (on_fail="warn") instead of the default raise.
 t0 = time.time()
-c, g, u, iters = step.chunked(radius, chunk=CHUNK, max_chunks=1)
+c, g, u, iters = step.chunked(radius, chunk=CHUNK, max_chunks=1,
+                              on_fail="warn")
 print(f"warmup (compile + {CHUNK} iters): {time.time() - t0:.1f} s",
       flush=True)
 
 t0 = time.time()
-c, g, u, iters = step.chunked(radius, u0=u, chunk=CHUNK, max_chunks=2)
+c, g, u, iters = step.chunked(radius, u0=u, chunk=CHUNK, max_chunks=2,
+                              on_fail="warn")
 dt = time.time() - t0
 print(f"{iters} warm CG iters in {dt:.2f} s -> "
       f"{1e3 * dt / iters:.2f} ms/iter (target <= 30 ms at 3M edges)")

@@ -148,6 +148,58 @@ def test_structured_step_sharded_parity():
     assert "shard" in str(u1.sharding.spec)
 
 
+@pytest.mark.slow
+def test_structured_step_sharded_parity_mg():
+    """The BENCH-grade solver configuration — multigrid-preconditioned
+    structured step with a frozen precond state — must survive GSPMD slab
+    sharding: the V-cycle (per-class einsum transfers, Chebyshev smoothers,
+    power-iteration lmax) is plain traced jax, so the partitioner must
+    propagate the slab sharding through it and match the single-device
+    step to roundoff.  BCC keeps the stencil program small enough for the
+    throttled CPU host; the machinery is geometry-independent."""
+    from pylatticedso_tpu.parallel.structured import (
+        StructuredLattice, make_structured_compliance_step,
+        shard_structured_step)
+
+    N = 7                       # grid X = 8 (divisible by 4); MG coarsens 7->4->2
+    slat = StructuredLattice("BCC", (N, 2, 2), (1.0, 1.0, 1.0),
+                             1013.0, 0.3, dtype=jnp.float64)
+    free = slat.select_nodes(lambda x, y, z: x > 1e-9)
+    f = slat.node_field().astype(np.float64)
+    tip = slat.select_nodes(lambda x, y, z: x > N - 1e-9)
+    f[:, 2][tip] = -0.1
+    mg_opts = {"nu": 2, "coarse_degree": 8, "smooth_frac": 0.25,
+               "power_iters": 5}
+    step = make_structured_compliance_step(slat, free, f, tol=1e-10,
+                                           maxiter=500, precond="mg",
+                                           mg_opts=mg_opts)
+    r = np.full((N, 2, 2), 0.05)
+    pstate = step.precond_state(r)
+    # single-device reference through the SAME (implicit-diff) code path
+    # the sharded wrapper dispatches to — the default step() now uses the
+    # analytic self-adjoint gradient, which only agrees to ~solver tol
+    free_o, f_o = step._operands
+    rj = jnp.asarray(r)
+    u00 = jnp.zeros_like(f_o)
+    (c0, _u0), g0 = step._jitted_frozen(rj, free_o, f_o, u00, pstate)
+
+    mesh = make_mesh(n_shard=4, n_dp=2)
+    sstep = shard_structured_step(step, mesh)
+    c1, g1, u1 = sstep(r, None, pstate)
+    np.testing.assert_allclose(float(c1), float(c0), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-8, atol=1e-14)
+    assert "shard" in str(u1.sharding.spec)
+    # and the non-frozen path (per-solve precond state) shards too
+    c2, _g2, _u2 = sstep(r)
+    np.testing.assert_allclose(float(c2), float(c0), rtol=1e-10)
+    # the analytic fast path agrees to solver tolerance
+    c3, g3, _u3 = step(r, None, pstate)
+    np.testing.assert_allclose(float(c3), float(c0), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g0),
+                               rtol=1e-5, atol=1e-12)
+
+
 def test_structured_step_sharded_rejects_indivisible():
     from pylatticedso_tpu.parallel.structured import (
         StructuredLattice, make_structured_compliance_step,

@@ -199,6 +199,57 @@ def test_selfadjoint_fast_path_matches_value_and_grad():
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s), rtol=1e-6)
 
 
+def test_analytic_grad_frozen_mg_and_hybrid():
+    """The analytic energy-derivative gradient (default fast path) must
+    match the implicit-diff gradient through the frozen-MG-state route and
+    for hybrid (multi-geometry) radius fields, where the _sections VJP
+    crosses creator-priority selects."""
+    n = 4                      # coarsenable: mg hierarchy gets >= 2 levels
+    sl = StructuredLattice("BCC", (n, n, n), (1., 1., 1.), 1013.0, 0.3,
+                           dtype=jnp.float64)
+    fixed = sl.select_nodes(lambda x, y, z: z == 0.0)
+    top = sl.select_nodes(lambda x, y, z: z == float(n))
+    free = sl.node_valid & ~fixed
+    f = np.zeros((sl.nc, 6) + sl.grid)
+    for c in range(sl.nc):
+        f[c, 2][top[c]] = -1.0 / int(top.sum())
+    mg_opts = {"nu": 2, "coarse_degree": 8, "power_iters": 3}
+    fast = make_structured_compliance_step(sl, free, f, tol=1e-12,
+                                           maxiter=3000, precond="mg",
+                                           mg_opts=mg_opts)
+    slow = make_structured_compliance_step(
+        sl, free, f, tol=1e-12, maxiter=3000, precond="mg", mg_opts=mg_opts,
+        objective=lambda u, f_: jnp.sum(f_ * u))
+    r0 = jnp.asarray(np.random.default_rng(5).uniform(0.03, 0.08, (n, n, n)))
+    ps = fast.precond_state(r0)
+    c_f, g_f, _ = fast(r0, None, ps)
+    c_s, g_s, _ = slow(r0, None, slow.precond_state(r0))
+    np.testing.assert_allclose(float(c_f), float(c_s), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s), rtol=1e-6)
+
+    # hybrid: per-geometry radius field [n_geom, Nx, Ny, Nz]
+    n = 2
+    sl2 = StructuredLattice(["BCC", "Hybrid1"], (n, n, n), (1., 1., 1.),
+                            1013.0, 0.3, dtype=jnp.float64)
+    fixed = sl2.select_nodes(lambda x, y, z: z == 0.0)
+    top = sl2.select_nodes(lambda x, y, z: z == float(n))
+    free = sl2.node_valid & ~fixed
+    f = np.zeros((sl2.nc, 6) + sl2.grid)
+    for c in range(sl2.nc):
+        f[c, 2][top[c]] = -1.0 / int(top.sum())
+    fast2 = make_structured_compliance_step(sl2, free, f, tol=1e-12,
+                                            maxiter=3000)
+    slow2 = make_structured_compliance_step(
+        sl2, free, f, tol=1e-12, maxiter=3000,
+        objective=lambda u, f_: jnp.sum(f_ * u))
+    rh = jnp.asarray(np.random.default_rng(7).uniform(0.03, 0.08,
+                                                      (2, n, n, n)))
+    c_f, g_f, _ = fast2(rh)
+    c_s, g_s, _ = slow2(rh)
+    np.testing.assert_allclose(float(c_f), float(c_s), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s), rtol=1e-6)
+
+
 def test_structured_trimmed_nodes_match_dense():
     """Node-granular trimming (node_keep): beams touching dropped nodes
     vanish and orphaned nodes are pruned — parity vs a dense assembly of
