@@ -34,6 +34,18 @@ Gradients: K.u is symmetric in u (vjp_u(g) = K.g with the same radii);
 the cotangent w.r.t. the per-edge r^2 fields falls back to ``jax.vjp``
 of the XLA gather form — it runs once per optimization step (at the end
 of the adjoint solve), not once per CG iteration, so its cost is noise.
+
+A 2-D (x-slab x yz-chunk) tiling variant lived here through round 4
+(git history: make_pallas_matvec_2d).  It passed interpret-mode parity
+on every template but NEVER lowered on hardware: every configuration
+crashed the v5e remote Mosaic compiler (first "offset mismatch on
+non-concat dimension" on the halo assembly — fixed by column-first
+concatenation — then an opaque tpu_compile_helper exit 1 with no
+diagnostic; data/outputs/tpu_queue/{probe_2d,sweep2d_r4}.log).  Removed
+rather than shipped as interpret-only: the 1-D kernel at tile 3072
+once+align8 measures 1.109 ms/matvec at 50^3, and the VPU-bound
+arithmetic (~100 flops/point/edge-side) caps what any retiling can
+recover to well under 2x.
 """
 
 from __future__ import annotations
@@ -162,13 +174,6 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     import os as _os
-
-    if _os.environ.get("PLDSO_PALLAS_2D") == "1":
-        try:
-            return make_pallas_matvec_2d(slat, xla_prepare, xla_apply,
-                                         interpret=interpret)
-        except ValueError:
-            pass                      # unsupported template: 1-D fallback
 
     if align8 is None:
         align8 = _os.environ.get("PLDSO_PALLAS_ALIGN8", "1") == "1"
@@ -550,283 +555,3 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
     apply.prepare_lo = lambda r2f: r2f.astype(jnp.bfloat16)
     return prepare, apply
 
-
-def make_pallas_matvec_2d(slat, xla_prepare: Callable, xla_apply: Callable,
-                          bx: Optional[int] = None, ct: Optional[int] = None,
-                          interpret: bool = False):
-    """2-D (x-slab x yz-chunk) tiling of the fused stencil matvec.
-
-    The 1-D flat-shift kernel's halo is dominated by the dx*(Yp*Zp) term
-    (H ~ 2863 at 51^3 vs tile 3072): every program reads THREE tiles of u
-    and r^2 to produce one, and per-edge windows at large shifts defeat
-    memoization.  Decomposing the shift as (dx, dyz = dy*Zp + dz) with
-    |dx| <= 1 and |dyz| <= Zp+1 makes all halos small:
-
-    * grid = (x slabs of BX planes) x (yz chunks of CT flat columns);
-      halo blocks are one x-plane (u) / two (r^2, whose anchor offset
-      adds another plane) and HC >= 2*(Zp+1) yz columns — ~1.2x read
-      overhead instead of 3x;
-    * fields compute as (6, BX, CT) arrays — the (BX, CT) trailing dims
-      map exactly onto (8, 128k) vregs, so every op runs at full VPU
-      density (the 1-D kernel's (T,) intermediates occupy one sublane of
-      8) and class rows need no align8 padding (leading-dim slices);
-    * compute-per-edge-once applies to EVERY edge: strains and internal
-      forces are evaluated on the (BX+|dx|, CT+|dyz|) extended window
-      (<= 12% larger) and both endpoint contributions are static slices.
-
-    Same (prepare, apply) contract as ``make_pallas_matvec``, including
-    the bf16-I/O smoother variants.  Raises ValueError for templates the
-    decomposition cannot host (|dx| > 1 — no catalog geometry produces
-    one; cell-local edges shift by at most one cell).
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    import os as _os
-
-    X, Y, Z = slat.grid
-    Xp, Yp, Zp = X + 2, Y + 2, Z + 2
-    YZ = Yp * Zp
-    nc, n_e = slat.nc, len(slat.edges)
-    if slat.dtype != jnp.float32:
-        raise ValueError("pallas stencil matvec is float32-only")
-    BX = bx or int(_os.environ.get("PLDSO_PALLAS_2D_BX", "8"))
-    HC = max(128, -(-(2 * Zp + 2) // 128) * 128)
-    CT = ct or int(_os.environ.get("PLDSO_PALLAS_2D_CT", "512"))
-    CT = max(min(CT, -(-YZ // 128) * 128), HC)
-    Xp2 = -(-Xp // BX) * BX
-    YZp = -(-YZ // CT) * CT
-    gx, gy = Xp2 // BX, YZp // CT
-    CB = CT // HC if CT % HC == 0 else None
-    if CB is None:
-        raise ValueError(f"CT {CT} must be a multiple of HC {HC}")
-
-    # per-side records with the (dx, dyz) decomposition
-    recs = []
-    for ei, e in enumerate(slat.edges):
-        d = (int(e["ob"][0] - e["oa"][0]), int(e["ob"][1] - e["oa"][1]),
-             int(e["ob"][2] - e["oa"][2]))
-        for side, (cs, co, sgn) in enumerate(
-                [(e["ca"], e["cb"], 1), (e["cb"], e["ca"], -1)]):
-            oanch = e["oa"]           # stiffness anchored at side-A's cell
-            rec = dict(ei=ei, side=side, cs=cs, co=co,
-                       dx=sgn * d[0], dyz=sgn * (d[1] * Zp + d[2]),
-                       drx=-int(oanch[0]),
-                       dryz=-(int(oanch[1]) * Zp + int(oanch[2])),
-                       t=e["t"], a1=e["a1"], a2=e["a2"], L=e["L"])
-            recs.append(rec)
-        if abs(d[0]) > 1:
-            raise ValueError(f"edge {ei}: |dx|={abs(d[0])} > 1")
-        if abs(d[1] * Zp + d[2]) > Zp + 1 or \
-                abs(recs[-1]["dryz"]) > Zp + 1:
-            raise ValueError(f"edge {ei}: yz shift exceeds Zp+1")
-        if not (-1 <= recs[-1]["drx"] <= 0):
-            raise ValueError(f"edge {ei}: drx out of range")
-
-    E_mod, nu, kappa = slat.E_mod, slat.nu, slat.kappa
-    G_mod = E_mod / (2.0 * (1.0 + nu))
-    coef_np = _pack_dense_coefs(recs, E_mod, G_mod, kappa)
-    coefs_dev = jnp.asarray(coef_np)
-    n_coef = coef_np.shape[1]
-    rows_u = nc * 6
-
-    def specs_for(rows, xh):
-        """9 neighborhood BlockSpecs for a [rows, Xp2, YZp] operand.
-
-        TPU lowering requires block last-two dims divisible by (8, 128)
-        or equal to the array dims, which forbids xh-plane
-        (rows, xh, CT) halo blocks (xh is 1 or 2).  So x halos and
-        corners fetch the WHOLE neighbor slab — (rows, BX, CT) /
-        (rows, BX, HC), both legal — and the kernel slices out the xh
-        boundary planes it needs.  The kernel is VPU-bound (~62 GB/s
-        effective vs ~800 GB/s HBM), so the extra halo reads are cheap.
-        All maps clamp at the grid ends (clamp garbage only reaches
-        ghost outputs, which _from_3d discards)."""
-        nyz = YZp // HC - 1            # last yz-halo block index
-
-        def xlo(i):
-            return jnp.maximum(i - 1, 0)
-
-        def xhi(i):
-            return jnp.minimum(i + 1, gx - 1)
-
-        def yzlo(j):
-            return jnp.maximum(j * CB - 1, 0)
-
-        def yzhi(j):
-            return jnp.minimum(j * CB + CB, nyz)
-
-        V = pltpu.VMEM
-        return [
-            pl.BlockSpec((rows, BX, CT), lambda i, j: (0, i, j),
-                         memory_space=V),
-            pl.BlockSpec((rows, BX, CT), lambda i, j: (0, xlo(i), j),
-                         memory_space=V),
-            pl.BlockSpec((rows, BX, CT), lambda i, j: (0, xhi(i), j),
-                         memory_space=V),
-            pl.BlockSpec((rows, BX, HC), lambda i, j: (0, i, yzlo(j)),
-                         memory_space=V),
-            pl.BlockSpec((rows, BX, HC), lambda i, j: (0, i, yzhi(j)),
-                         memory_space=V),
-            pl.BlockSpec((rows, BX, HC), lambda i, j: (0, xlo(i), yzlo(j)),
-                         memory_space=V),
-            pl.BlockSpec((rows, BX, HC), lambda i, j: (0, xlo(i), yzhi(j)),
-                         memory_space=V),
-            pl.BlockSpec((rows, BX, HC), lambda i, j: (0, xhi(i), yzlo(j)),
-                         memory_space=V),
-            pl.BlockSpec((rows, BX, HC), lambda i, j: (0, xhi(i), yzhi(j)),
-                         memory_space=V),
-        ]
-
-    XHU, XHR = 1, 2                    # x halo planes: u 1; r^2 2 (anchor)
-    if BX % XHR:
-        raise ValueError(f"BX {BX} must be a multiple of {XHR}")
-    specs_u = specs_for(rows_u, XHU)
-    specs_r = specs_for(n_e, XHR)
-    spec_coef = [pl.BlockSpec((8, n_coef), lambda i, j: (0, 0, 0)[:2],
-                              memory_space=pltpu.VMEM)]
-
-    def make_kernel(io_dtype):
-
-        def kernel(ucen, uxlo, uxhi, uyzlo, uyzhi, ull, ulh, uhl, uhh,
-                   rcen, rxlo, rxhi, ryzlo, ryzhi, rll, rlh, rhl, rhh,
-                   coefs, out_ref):
-            cache = {}
-
-            def assemble(refs, row0, nrows, xh):
-                """(nrows, BX+2*xh, CT+2*HC) neighborhood of rows
-                [row0, row0+nrows) — leading-dim slices + 2 concats,
-                memoized per (operand, row0).  Halo blocks are whole
-                neighbor slabs (see specs_for); only their xh boundary
-                planes enter the assembly."""
-                cen, xlo_, xhi_, yzlo_, yzhi_, ll, lh, hl, hh = refs
-                key = (id(cen), row0, nrows)
-                if key in cache:
-                    return cache[key]
-                rs = slice(row0, row0 + nrows)
-                lo = slice(BX - xh, BX)       # last xh planes of slab i-1
-                hi = slice(0, xh)             # first xh planes of slab i+1
-                top = jnp.concatenate(
-                    [ll[rs, lo], xlo_[rs, lo], lh[rs, lo]], axis=2)
-                mid = jnp.concatenate(
-                    [yzlo_[rs], cen[rs], yzhi_[rs]], axis=2)
-                bot = jnp.concatenate(
-                    [hl[rs, hi], xhi_[rs, hi], hh[rs, hi]], axis=2)
-                out = jnp.concatenate([top, mid, bot],
-                                      axis=1).astype(jnp.float32)
-                cache[key] = out
-                return out
-
-            u_refs = (ucen, uxlo, uxhi, uyzlo, uyzhi, ull, ulh, uhl, uhh)
-            r_refs = (rcen, rxlo, rxhi, ryzlo, ryzhi, rll, rlh, rhl, rhh)
-
-            def coef_col(j):
-                return coefs[0:6, j:j + 1][:, :, None]   # (6, 1, 1)
-
-            def col_accum(terms):
-                out = None
-                for row, j in terms:
-                    term = row[None] * coef_col(j)
-                    out = term if out is None else out + term
-                return out
-
-            acc = [jnp.zeros((6, BX, CT), jnp.float32) for _ in range(nc)]
-            for ei in range(n_e):
-                rA, rB = recs[2 * ei], recs[2 * ei + 1]
-                dx, dyz = rA["dx"], rA["dyz"]
-                ax, wx = min(0, -dx), BX + abs(dx)
-                ay, wy = min(0, -dyz), CT + abs(dyz)
-                BU_a = assemble(u_refs, 6 * rA["cs"], 6, XHU)
-                BU_b = assemble(u_refs, 6 * rA["co"], 6, XHU)
-                uA = BU_a[:, XHU + ax:XHU + ax + wx,
-                          HC + ay:HC + ay + wy]
-                uB = BU_b[:, XHU + ax + dx:XHU + ax + dx + wx,
-                          HC + ay + dyz:HC + ay + dyz + wy]
-                BR = assemble(r_refs, ei, 1, XHR)[0]
-                rx0 = XHR + ax + rA["drx"]
-                ry0 = HC + ay + rA["dryz"]
-                r2 = BR[rx0:rx0 + wx, ry0:ry0 + wy]
-                K = r2[None] * coef_col(0) + (r2 * r2)[None] * coef_col(1)
-                d = uB - uA
-                p3 = uA[3:] + uB[3:]
-                Estr = col_accum([(d[k] if src == "d" else p3[k], j)
-                                  for (src, k, j) in rA["dense_a"]])
-                Sd = K * Estr                       # (6, wx, wy)
-                sA = Sd[:, -ax:BX - ax, -ay:CT - ay]
-                sB = Sd[:, -ax - dx:BX - ax - dx, -ay - dyz:CT - ay - dyz]
-                acc[rA["cs"]] = acc[rA["cs"]] + col_accum(
-                    [(sA[srow], j) for (srow, j) in rA["dense_b"]])
-                acc[rB["cs"]] = acc[rB["cs"]] + col_accum(
-                    [(sB[srow], j) for (srow, j) in rB["dense_b"]])
-            out_ref[:] = jnp.concatenate(acc, axis=0).astype(io_dtype)
-
-        return kernel
-
-    def make_call(io_dtype):
-        nbytes = jnp.dtype(io_dtype).itemsize
-        halo_cols = (2 * HC + CT) / CT
-        return pl.pallas_call(
-            make_kernel(io_dtype),
-            grid=(gx, gy),
-            in_specs=specs_u + specs_r + spec_coef,
-            out_specs=pl.BlockSpec((rows_u, BX, CT), lambda i, j: (0, i, j),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((rows_u, Xp2, YZp), io_dtype),
-            cost_estimate=pl.CostEstimate(
-                flops=60 * len(recs) * Xp2 * YZp, transcendentals=0,
-                bytes_accessed=int(nbytes * (rows_u * (1 + halo_cols)
-                                             + n_e * halo_cols
-                                             + rows_u) * Xp2 * YZp)),
-            interpret=interpret,
-        )
-
-    call = make_call(jnp.float32)
-    call_lo = make_call(jnp.bfloat16)
-
-    def _to_3d(u):
-        """[nc, 6, X, Y, Z] -> [nc*6, Xp2, YZp] ghost-padded."""
-        up = jnp.pad(u, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
-        flat = up.reshape(rows_u, Xp, YZ)
-        return jnp.pad(flat, ((0, 0), (0, Xp2 - Xp), (0, YZp - YZ)))
-
-    def _from_3d(arr):
-        up = arr[:, :Xp, :YZ].reshape(nc, 6, Xp, Yp, Zp)
-        return up[:, :, 1:-1, 1:-1, 1:-1]
-
-    def prepare(radius):
-        r2ps = xla_prepare(radius)                 # [n_e, Xp, Yp, Zp]
-        flat = r2ps.reshape(n_e, Xp, YZ)
-        return jnp.pad(flat, ((0, 0), (0, Xp2 - Xp), (0, YZp - YZ)))
-
-    def _args(flat):
-        return (flat,) * 9
-
-    def _raw_apply(u, r2f):
-        flat = _to_3d(u)
-        return _from_3d(call(*_args(flat), *_args(r2f), coefs_dev))
-
-    def _xla_apply_from_3d(u, r2f):
-        r2ps = r2f[:, :Xp, :YZ].reshape(n_e, Xp, Yp, Zp)
-        return xla_apply(u, r2ps)
-
-    @jax.custom_vjp
-    def apply(u, r2f):
-        return _raw_apply(u, r2f)
-
-    def _fwd(u, r2f):
-        return _raw_apply(u, r2f), (u, r2f)
-
-    def _bwd(res, g):
-        u, r2f = res
-        gu = _raw_apply(g, r2f)                    # K is symmetric in u
-        _, vjp = jax.vjp(lambda a: _xla_apply_from_3d(u, a), r2f)
-        return gu, vjp(g)[0]
-
-    apply.defvjp(_fwd, _bwd)
-
-    def apply_lo(u_lo, r2f_lo):
-        flat = _to_3d(u_lo)
-        return _from_3d(call_lo(*_args(flat), *_args(r2f_lo), coefs_dev))
-
-    apply.lo = apply_lo
-    apply.prepare_lo = lambda r2f: r2f.astype(jnp.bfloat16)
-    return prepare, apply

@@ -83,27 +83,6 @@ for tile in TILES:
 os.environ["PLDSO_PALLAS_DENSE"] = "0"
 os.environ["PLDSO_PALLAS_ONCE"] = "0"
 
-# 2-D (x-slab x yz-chunk) tiling sweep
-from pylatticedso_tpu.parallel.stencil_pallas import make_pallas_matvec_2d
-
-# CT must be a multiple of HC (128 at N<=63); BX a multiple of 2
-BXCT = os.environ.get("BXCT", "8:512,8:1024,4:1024,16:512,8:1408")
-for spec in BXCT.split(","):
-    bx, ct = (int(v) for v in spec.split(":"))
-    name = f"2d bx={bx} ct={ct}"
-    try:
-        prep, app = make_pallas_matvec_2d(
-            slat, mv_g.prepare, mv_g.apply, bx=bx, ct=ct)
-        aux_p = jax.jit(prep)(r)
-        y = jax.jit(app)(u, aux_p).block_until_ready()
-        err = float(jnp.max(jnp.abs(y - y_ref)) / jnp.max(jnp.abs(y_ref)))
-        dt = timeit(app, aux_p)
-        results[name] = dt
-        print(f"{name}: {dt*1e3:.3f} ms  (err {err:.1e})", flush=True)
-    except Exception as e:  # noqa: BLE001 - sweep survives OOMs
-        print(f"{name}: FAILED {type(e).__name__}: {str(e)[:2000]}",
-              flush=True)
-
 if results:
     best = min(results, key=results.get)
     print(f"BEST: {best} at {results[best]*1e3:.3f} ms")

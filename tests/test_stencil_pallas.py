@@ -60,77 +60,6 @@ def test_pallas_erased_cells_and_grad():
         < 1e-4
 
 
-@pytest.mark.parametrize("geom,n", [("BCC", 5), ("Octet", 4)])
-def test_pallas_2d_matches_gather(geom, n):
-    from pylatticedso_tpu.parallel.stencil_pallas import make_pallas_matvec_2d
-
-    slat = StructuredLattice(geom, (n, n, n), (1.0, 1.0, 1.0), 1013.0, 0.3)
-    mv, _ = slat.make_matvec()
-    prep_p, apply_p = make_pallas_matvec_2d(slat, mv.prepare, mv.apply,
-                                            interpret=True)
-    rng = np.random.default_rng(0)
-    u = jnp.asarray(rng.standard_normal((slat.nc, 6) + slat.grid), jnp.float32)
-    r = jnp.asarray(0.04 + 0.05 * rng.random((n, n, n)), jnp.float32)
-    yg = mv.apply(u, mv.prepare(r))
-    yp = apply_p(u, prep_p(r))
-    assert float(jnp.max(jnp.abs(yg - yp)) / jnp.max(jnp.abs(yg))) < 1e-5
-
-
-@pytest.mark.slow
-def test_pallas_2d_grad_bf16_erased_hybrid():
-    """2-D tiling: custom VJP, bf16 smoother form, erased cells, hybrid
-    multi-geometry, and a non-cubic grid all track the gather oracle."""
-    from pylatticedso_tpu.parallel.stencil_pallas import make_pallas_matvec_2d
-
-    n = 4
-    valid = np.ones((n, n, n), bool)
-    valid[1, 2, 3] = False
-    slat = StructuredLattice("BCC", (n, n, n), (1.0, 1.0, 1.0), 1013.0, 0.3,
-                             cell_valid=valid)
-    mv, _ = slat.make_matvec()
-    prep_p, apply_p = make_pallas_matvec_2d(slat, mv.prepare, mv.apply,
-                                            interpret=True)
-    rng = np.random.default_rng(1)
-    u = jnp.asarray(rng.standard_normal((slat.nc, 6) + slat.grid), jnp.float32)
-    r = jnp.asarray(0.04 + 0.05 * rng.random((n, n, n)), jnp.float32)
-    yg = mv.apply(u, mv.prepare(r))
-    yp = apply_p(u, prep_p(r))
-    assert float(jnp.max(jnp.abs(yg - yp)) / jnp.max(jnp.abs(yg))) < 1e-5
-
-    def loss(form_prep, form_apply, r_):
-        return jnp.sum(form_apply(u, form_prep(r_)) ** 2)
-
-    gg = jax.grad(lambda r_: loss(mv.prepare, mv.apply, r_))(r)
-    gp = jax.grad(lambda r_: loss(prep_p, apply_p, r_))(r)
-    assert float(jnp.max(jnp.abs(gg - gp)) / (jnp.max(jnp.abs(gg)) + 1e-30)) \
-        < 1e-4
-
-    aux = prep_p(r)
-    y16 = apply_p.lo(u.astype(jnp.bfloat16),
-                     apply_p.prepare_lo(aux)).astype(jnp.float32)
-    y32 = apply_p(u, aux)
-    assert float(jnp.max(jnp.abs(y32 - y16)) / jnp.max(jnp.abs(y32))) < 0.03
-
-    hyb = StructuredLattice(["BCC", "Hybrid1"], (3, 3, 3), (1.0, 1.0, 1.0),
-                            1013.0, 0.3)
-    mvh, _ = hyb.make_matvec()
-    ph, ah = make_pallas_matvec_2d(hyb, mvh.prepare, mvh.apply, interpret=True)
-    uh = jnp.asarray(rng.standard_normal((hyb.nc, 6) + hyb.grid), jnp.float32)
-    rh = jnp.asarray(0.04 + 0.05 * rng.random((2, 3, 3, 3)), jnp.float32)
-    ygh = mvh.apply(uh, mvh.prepare(rh))
-    assert float(jnp.max(jnp.abs(ygh - ah(uh, ph(rh)))) /
-                 jnp.max(jnp.abs(ygh))) < 1e-5
-
-    nc = StructuredLattice("Octet", (3, 5, 4), (1.0, 1.2, 0.9), 1013.0, 0.3)
-    mvn, _ = nc.make_matvec()
-    pn, an = make_pallas_matvec_2d(nc, mvn.prepare, mvn.apply, interpret=True)
-    un = jnp.asarray(rng.standard_normal((nc.nc, 6) + nc.grid), jnp.float32)
-    rn = jnp.asarray(0.04 + 0.05 * rng.random((3, 5, 4)), jnp.float32)
-    ygn = mvn.apply(un, mvn.prepare(rn))
-    assert float(jnp.max(jnp.abs(ygn - an(un, pn(rn)))) /
-                 jnp.max(jnp.abs(ygn))) < 1e-5
-
-
 def test_pallas_supported_threshold():
     small = StructuredLattice("BCC", (3, 3, 3), (1.0, 1.0, 1.0), 1013.0, 0.3)
     big = StructuredLattice("BCC", (40, 40, 40), (1.0, 1.0, 1.0), 1013.0, 0.3)
