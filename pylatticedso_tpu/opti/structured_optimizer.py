@@ -40,22 +40,39 @@ class StructuredOptimizationProblem(OptimizationProblem):
         for pos in lattice.cell_pos:
             cell_valid[tuple(pos)] = True
         geoms = list(lattice.config.geom_types)
+        # warped lattices (design.transforms point maps): rebuild the warp
+        # as per-instance stencil fields via the recorded pointwise maps.
+        # node_transforms is None when a topology-changing transform ran
+        # (cylindrical seam merge) — the node mapping below then fails and
+        # FEM_AUTO falls back to the general-graph operator.
+        tfs = getattr(lattice, "node_transforms", None)
+        composed = None
+        if tfs:
+            def composed(x, y, z, _tfs=tuple(tfs)):
+                for fn in _tfs:
+                    x, y, z = fn(x, y, z)
+                return x, y, z
         self._slat = StructuredLattice(
             geoms[0] if len(geoms) == 1 else geoms, (nx, ny, nz),
             tuple(lattice.config.cell_size), self.material.young_modulus,
-            self.material.poisson_ratio, dtype=dtype, cell_valid=cell_valid)
+            self.material.poisson_ratio, dtype=dtype, cell_valid=cell_valid,
+            node_transform=composed)
         sl = self._slat
+        map_pos = (sl.class_pos if composed is None
+                   else sl.class_pos_unwarped)
+        map_nodes = (lattice.nodes if composed is None
+                     else lattice.nodes_pre_transform)
 
         # map lattice nodes onto the class grids
         coord_to_cg = {}
         for c in range(sl.nc):
-            x, y, z = sl.class_pos[c]
+            x, y, z = map_pos[c]
             for idx in np.argwhere(sl.node_valid[c]):
                 key = (round(x[tuple(idx)], 9), round(y[tuple(idx)], 9),
                        round(z[tuple(idx)], 9))
                 coord_to_cg[key] = (c, tuple(idx))
         self._node_map = []
-        for i, p in enumerate(lattice.nodes):
+        for i, p in enumerate(map_nodes):
             key = tuple(np.round(p, 9))
             if key not in coord_to_cg:
                 raise ValueError(f"node {p} not on the class grids")

@@ -85,6 +85,11 @@ def pallas_supported(slat, min_points: int = 0) -> bool:
     bandwidth/VPU-bound (one HBM pass vs ~20), and at small (multigrid
     coarse-level) sizes ONE kernel launch replaces ~500 XLA ops whose
     fixed overheads cost ~2.5 ms per matvec regardless of grid size."""
+    if getattr(slat, "node_transform", None) is not None:
+        # warped lattices carry per-instance frame/length FIELDS; the
+        # kernels' packed constant-coefficient form assumes per-template
+        # frames.  The XLA gather form handles them (structured.py).
+        return False
     Xp, Yp, Zp = (g + 2 for g in slat.grid)
     return Xp * Yp * Zp >= min_points
 

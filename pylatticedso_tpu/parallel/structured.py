@@ -142,6 +142,16 @@ class StructuredLattice:
     # node-granular TRIMMING (design.mesh_trimmer shapes at structured
     # speed): beams with a dropped endpoint are removed, like the
     # builder's trim pass.  A callable receives world coordinates.
+    node_transform: Optional[object] = None   # f(x, y, z) -> (x', y', z')
+    # WARPED lattices (design.transforms point maps: attractor, curve,
+    # fit-to-surface, ... — reference design_transformation.py): the
+    # transform moves nodes but keeps the grid TOPOLOGY, so K.u stays a
+    # stencil — only the per-edge frame/length constants become per-
+    # instance grid FIELDS.  This keeps "millions of struts" lattices on
+    # the dense-stencil path (~ms matvecs) instead of the gather-rate-
+    # limited general-graph path (~89 ms/CG-iter at 3M edges on v5e).
+    # Topology-changing transforms (cylindrical seam merge) are out of
+    # scope — those route through parallel.sharding.
 
     def __post_init__(self):
         self.geoms = ([self.geom] if isinstance(self.geom, str)
@@ -209,6 +219,43 @@ class StructuredLattice:
             pz = (gz + key[2]) * csz[2]
             self.class_pos[c] = np.stack([px, py, pz])
 
+        # warped lattices: transform positions, then derive per-edge
+        # per-INSTANCE frames/lengths (grid fields) from the transformed
+        # endpoints — same branchless reference-axis rule as the
+        # unstructured path (fem/elements.edge_geometry; reference
+        # beam_model.py:197-216), so the two operators agree bit-for-bit
+        # on the same warped lattice.
+        if self.node_transform is not None:
+            # unwarped positions kept for exact node mapping (the
+            # structured optimizer matches lattice nodes in PRE-transform
+            # coordinates — integer-grid arithmetic on both sides)
+            self.class_pos_unwarped = {c: self.class_pos[c].copy()
+                                       for c in range(self.nc)}
+            for c in range(self.nc):
+                x, y, z = self.class_pos[c]
+                self.class_pos[c] = np.stack(self.node_transform(x, y, z))
+            for e in self.edges:
+                ext, oa, ob = e["ext"], e["oa"], e["ob"]
+                sa = (slice(None),) + tuple(
+                    slice(oa[ax], oa[ax] + ext[ax]) for ax in range(3))
+                sb = (slice(None),) + tuple(
+                    slice(ob[ax], ob[ax] + ext[ax]) for ax in range(3))
+                pA = self.class_pos[e["ca"]][sa]
+                pB = self.class_pos[e["cb"]][sb]              # [3, ext]
+                vec = pB - pA
+                L = np.linalg.norm(vec, axis=0)
+                Ls = np.where(L > 0, L, 1.0)   # collapsed-instance guard
+                t = vec / Ls
+                ex_ = np.array([1.0, 0.0, 0.0])[:, None, None, None]
+                ez_ = np.array([0.0, 0.0, 1.0])[:, None, None, None]
+                ref = np.where(np.abs(t[2]) > 0.99, ex_, ez_)
+                a1 = np.cross(ref, t, axisa=0, axisb=0, axisc=0)
+                a1n = np.linalg.norm(a1, axis=0)
+                a1 = a1 / np.where(a1n > 0, a1n, 1.0)
+                a2 = np.cross(t, a1, axisa=0, axisb=0, axisc=0)
+                e["warp_frames"] = np.stack([t, a1, a2])      # [3, 3, ext]
+                e["warp_L"] = Ls
+
         # node-granular trimming: drop nodes outside ``node_keep``, remove
         # every beam instance touching a dropped endpoint, then prune
         # orphaned nodes (the builder's trim pass, design/mesh_trimmer.py,
@@ -267,13 +314,54 @@ class StructuredLattice:
         E_mod, nu, kappa = self.E_mod, self.nu, self.kappa
         G_mod = E_mod / (2.0 * (1.0 + nu))
         dt = self.dtype
+        warped = self.node_transform is not None
         consts = []
         for e in self.edges:
+            if warped:
+                # per-INSTANCE geometry fields (see __post_init__): frames
+                # [3, ext] each, length [ext] — the same strain/force
+                # arithmetic below broadcasts over them unchanged.
+                wf = e["warp_frames"]
+                t_, a1_, a2_ = (jnp.asarray(wf[0], dt),
+                                jnp.asarray(wf[1], dt),
+                                jnp.asarray(wf[2], dt))
+                L_ = jnp.asarray(e["warp_L"], dt)
+            else:
+                t_, a1_, a2_, L_ = (jnp.asarray(e["t"], dt),
+                                    jnp.asarray(e["a1"], dt),
+                                    jnp.asarray(e["a2"], dt), float(e["L"]))
             consts.append((
-                jnp.asarray(e["t"], dt), jnp.asarray(e["a1"], dt),
-                jnp.asarray(e["a2"], dt), float(e["L"]), e["ca"], e["cb"],
+                t_, a1_, a2_, L_, e["ca"], e["cb"],
                 e["oa"], e["ob"], e["ext"], e["creators"],
                 jnp.asarray(e["inst_valid"], dt)))
+
+        def _b(w):
+            """Frame-vector broadcast: template frames are [3] constants,
+            warped frames are [3, ext] fields — both multiply [*, ext]."""
+            return w if w.ndim == 4 else w[:, None, None, None]
+
+        geoP = None
+        if warped:
+            # ghost-padded per-edge geometry fields for the gather form:
+            # rows 0-8 the instance frames (t, a1, a2 by xyz), row 9 the
+            # length (padded with 1.0 — the padded r^2 is zero there, and
+            # 1/L must stay finite).  Radius-independent, so they live
+            # OUTSIDE prepare(); closure-captured, which embeds them as
+            # XLA constants (CLAUDE.md trap) — acceptable at the warped
+            # path's target sizes (<= ~32^3; ~50 MB), revisit with an
+            # explicit-argument plumbing if warped 50^3 becomes hot.
+            Xg, Yg, Zg = self.grid
+            geo_np = np.zeros((len(self.edges), 10, Xg + 2, Yg + 2, Zg + 2),
+                              np.float64)
+            geo_np[:, 9] = 1.0
+            for i, e in enumerate(self.edges):
+                ext = e["ext"]
+                blk = (slice(1, 1 + ext[0]), slice(1, 1 + ext[1]),
+                       slice(1, 1 + ext[2]))
+                geo_np[(i, slice(0, 9)) + blk] = \
+                    e["warp_frames"].reshape(9, *ext)
+                geo_np[(i, 9) + blk] = e["warp_L"]
+            geoP = jnp.asarray(geo_np, dt)
 
         def _sections(radius):
             """Per-edge per-instance r^2 from the padded per-cell field,
@@ -323,7 +411,7 @@ class StructuredLattice:
                 du = uB[:3] - uA[:3]
                 ths = uA[3:] + uB[3:]
                 dth = uB[3:] - uA[3:]
-                dot = lambda V, w: (V * w[:, None, None, None]).sum(0)
+                dot = lambda V, w: (V * _b(w)).sum(0)
                 e0 = dot(du, t) * invL
                 e1 = dot(du, a1) * invL - dot(ths, a2) * 0.5
                 e2 = dot(du, a2) * invL + dot(ths, a1) * 0.5
@@ -332,7 +420,7 @@ class StructuredLattice:
                 e5 = dot(dth, a2) * invL
                 s0, s1, s2 = ES * e0, kGS * e1, kGS * e2
                 s3, s4, s5 = GJ * e3, EI * e4, EI * e5
-                o = lambda s, w: s[None] * w[:, None, None, None]
+                o = lambda s, w: s[None] * _b(w)
                 fu = o(s0, t) + o(s1, a1) + o(s2, a2)
                 msh = (L * 0.5) * (o(s2, a1) - o(s1, a2))
                 mdf = o(s3, t) + o(s4, a1) + o(s5, a2)
@@ -389,22 +477,31 @@ class StructuredLattice:
 
             zero = jnp.zeros((6, X, Y, Z), dt)
             acc = [zero] * self.nc
-            dot = lambda V, w: (V * w[:, None, None, None]).sum(0)
-            o = lambda s, w: s[None] * w[:, None, None, None]
-            for (t, a1, a2, L, ca, cb, oa, ob, ext, _cr, _iv), r2p in zip(consts, r2ps):
+            dot = lambda V, w: (V * _b(w)).sum(0)
+            o = lambda s, w: s[None] * _b(w)
+            for ei, ((t, a1, a2, L, ca, cb, oa, ob, ext, _cr, _iv), r2p) \
+                    in enumerate(zip(consts, r2ps)):
                 d = (ob[0] - oa[0], ob[1] - oa[1], ob[2] - oa[2])
-                invL = 1.0 / L
                 for side in (0, 1):
                     if side == 0:      # A-side: self = ca at p, other at p+d
                         uA = sl(up[ca], (0, 0, 0))
                         uB = sl(up[cb], d)
-                        r2 = slr(r2p, (-oa[0], -oa[1], -oa[2]))
+                        anchor = (-oa[0], -oa[1], -oa[2])
+                        r2 = slr(r2p, anchor)
                         c_out = ca
                     else:              # B-side: self = cb at p, other at p-d
                         uA = sl(up[ca], (-d[0], -d[1], -d[2]))
                         uB = sl(up[cb], (0, 0, 0))
-                        r2 = slr(r2p, (-ob[0], -ob[1], -ob[2]))
+                        anchor = (-ob[0], -ob[1], -ob[2])
+                        r2 = slr(r2p, anchor)
                         c_out = cb
+                    if warped:
+                        # instance geometry rides the same anchor shift as
+                        # r^2 (both are fields over the instance grid)
+                        gs = sl(geoP[ei], anchor)
+                        t, a1, a2 = gs[0:3], gs[3:6], gs[6:9]
+                        L = gs[9]
+                    invL = 1.0 / L
                     S = jnp.pi * r2
                     I = jnp.pi * r2 * r2 / 4.0
                     ES, kGS = E_mod * S, kappa * G_mod * S
@@ -437,9 +534,9 @@ class StructuredLattice:
                 ES, kGS = E_mod * S, kappa * G_mod * S
                 GJ, EI = 2.0 * G_mod * I, E_mod * I
                 invL = 1.0 / L
-                t2 = (t * t)[:, None, None, None]
-                a12 = (a1 * a1)[:, None, None, None]
-                a22 = (a2 * a2)[:, None, None, None]
+                t2 = _b(t * t)
+                a12 = _b(a1 * a1)
+                a22 = _b(a2 * a2)
                 d_u = (ES * t2 + kGS * (a12 + a22)) * invL
                 d_th = kGS * (a22 + a12) * (L * 0.25) \
                     + (GJ * t2 + EI * (a12 + a22)) * invL
@@ -473,7 +570,7 @@ class StructuredLattice:
                 du = uB[:3] - uA[:3]
                 ths = uA[3:] + uB[3:]
                 dth = uB[3:] - uA[3:]
-                dot = lambda V, w: (V * w[:, None, None, None]).sum(0)
+                dot = lambda V, w: (V * _b(w)).sum(0)
                 e0 = dot(du, t) * invL
                 e1 = dot(du, a1) * invL - dot(ths, a2) * 0.5
                 e2 = dot(du, a2) * invL + dot(ths, a1) * 0.5

@@ -305,3 +305,85 @@ def test_structured_trimmed_nodes_match_dense():
     err = max(np.abs(out[(c, slice(None)) + g] - ref[i]).max()
               for i, c, g in mapping)
     assert err < 1e-10, f"trimmed matvec err {err:.2e}"
+
+
+def test_structured_warped_matches_dense(monkeypatch):
+    """Warped lattices (node_transform point maps — the design.transforms
+    semantics, reference design_transformation.py) on the stencil
+    operator: the map moves nodes but keeps grid topology, so K.u stays a
+    stencil with per-instance frame/length FIELDS.  Parity vs a dense
+    assembly at the transformed coordinates, for the gather form, the
+    instance-anchored scatter form, the diagonal, and the analytic
+    energy gradient."""
+    N = (3, 2, 2)
+    cfg = {"geometry": {"cell_size": {"x": 1, "y": 1, "z": 1},
+                        "number_of_cells": {"x": N[0], "y": N[1], "z": N[2]},
+                        "radii": [0.05], "geom_types": ["Octet"]}}
+    lat = build_lattice(cfg)
+
+    def warp(x, y, z):
+        # smooth non-affine taper + twist: every instance gets a distinct
+        # length and frame (no two parallel struts stay parallel)
+        s = 1.0 + 0.15 * z
+        th = 0.25 * z
+        xc, yc = x - 1.5, y - 1.0
+        return (1.5 + s * (np.cos(th) * xc - np.sin(th) * yc),
+                1.0 + s * (np.sin(th) * xc + np.cos(th) * yc),
+                z + 0.1 * np.sin(x))
+
+    sl0 = StructuredLattice("Octet", N, (1, 1, 1), 1013.0, 0.3,
+                            dtype=jnp.float64)
+    sl = StructuredLattice("Octet", N, (1, 1, 1), 1013.0, 0.3,
+                           dtype=jnp.float64, node_transform=warp)
+    mapping = _map_nodes(sl0, lat)          # topology is transform-invariant
+    nodes_w = np.stack(warp(lat.nodes[:, 0], lat.nodes[:, 1],
+                            lat.nodes[:, 2]), axis=1)
+    K = np.asarray(assemble_dense(jnp.asarray(nodes_w), lat.edges,
+                                  lat.radius, 1013.0, 0.3))
+    rng = np.random.default_rng(0)
+    u_lat = rng.normal(size=(lat.num_nodes, 6))
+    u_f = np.zeros((sl.nc, 6) + sl.grid)
+    for i, c, g in mapping:
+        u_f[(c, slice(None)) + g] = u_lat[i]
+    r = jnp.full(N, 0.05, jnp.float64)
+    ref = (K @ u_lat.reshape(-1)).reshape(-1, 6)
+
+    def check_form(mode, tol):
+        monkeypatch.setenv("PLDSO_MATVEC", mode)
+        mv, dg = sl.make_matvec()
+        out = np.asarray(mv(jnp.asarray(u_f), r))
+        err = max(np.abs(out[(c, slice(None)) + g] - ref[i]).max()
+                  for i, c, g in mapping)
+        assert err < tol, f"warped {mode}: matvec err {err:.2e}"
+        d = np.asarray(dg(r))
+        derr = max(np.abs(d[(c, slice(None)) + g]
+                          - np.diag(K).reshape(-1, 6)[i]).max()
+                   for i, c, g in mapping)
+        assert derr < tol, f"warped {mode}: diag err {derr:.2e}"
+        return mv
+
+    check_form("scatter", 1e-9)
+    mv = check_form("gather", 1e-9)
+
+    # pallas must decline warped lattices (per-instance frames)
+    from pylatticedso_tpu.parallel.stencil_pallas import pallas_supported
+    assert not pallas_supported(sl)
+    assert pallas_supported(sl0)
+
+    # analytic energy derivative (the self-adjoint gradient path) tracks
+    # autodiff through the warped operator
+    uj = jnp.asarray(u_f)
+
+    def q(rf):
+        return jnp.sum(uj * mv.apply(uj, mv.prepare(rf)))
+
+    g_auto = jax.grad(q)(r)
+    dq = mv.energy_dr2(uj, mv.sections(r))
+
+    def inner(rf):
+        return sum(jnp.sum(d_ * r2) for d_, r2 in zip(dq, mv.sections(rf)))
+
+    g_ana = jax.grad(inner)(r)
+    rel = float(jnp.max(jnp.abs(g_ana - g_auto))
+                / (jnp.max(jnp.abs(g_auto)) + 1e-30))
+    assert rel < 1e-9, f"warped analytic grad rel err {rel:.2e}"

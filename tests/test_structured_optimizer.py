@@ -115,3 +115,43 @@ def test_optimize_lattice_routes_structured():
     problem, res = optimize_lattice(lat)
     assert isinstance(problem, StructuredOptimizationProblem)
     assert res.iterations >= 1
+
+
+def test_structured_warped_matches_unstructured_value_and_grad():
+    """Warped lattices (design.transforms) route onto the stencil path:
+    the recorded pointwise maps rebuild the warp as per-instance fields
+    and the objective/gradient match the general-graph operator."""
+    from pylatticedso_tpu.design.transforms import (curve_lattice,
+                                                    move_to_cylinder_form)
+    lat = cantilever()
+    # z-only maps (the x/y surface tags used by the BCs survive) whose z
+    # offset varies with x and y: every strut length and frame changes
+    curve_lattice(lat, center=(1.5, 1.0, 5.0), curvature_strength=0.02)
+    move_to_cylinder_form(lat, radius=4.0)
+    assert len(lat.node_transforms) == 2
+    up = OptimizationProblem(lat, opt_params=OPT, constraints=CON)
+    sp = StructuredOptimizationProblem(lat, opt_params=OPT, constraints=CON)
+    assert sp._slat.node_transform is not None
+    x0 = jnp.asarray(np.asarray(sp.param.x0) * 0.9 + 0.03)
+    vs, gs = sp._value_and_grad(x0)
+    vu, gu = up._value_and_grad(x0)
+    np.testing.assert_allclose(float(vs), float(vu), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gu), rtol=1e-7)
+
+
+def test_structured_declines_seam_merged_cylinder():
+    """The cylindrical seam merge changes topology: the structured path
+    must raise (FEM_AUTO then falls back to the general operator)."""
+    from pylatticedso_tpu.design.transforms import cylindrical_transform
+    lat = cantilever(nx=2, ny=2, nz=1, geom="BCC")
+    n_pre = lat.num_nodes
+    cylindrical_transform(lat, radius=2.0 / np.pi)
+    assert lat.node_transforms is None      # poisoned by the seam merge
+    assert lat.num_nodes < n_pre            # the seam actually merged
+    # membership maps were rebuilt under the merge: surface BC
+    # resolution still works on the merged cylinder
+    assert lat.find_nodes_on_surface(["Zmin"]).size > 0
+    nids = lat.cell_node_idx
+    assert nids.min() >= 0 and nids.max() < lat.num_nodes
+    with pytest.raises(ValueError):
+        StructuredOptimizationProblem(lat, opt_params=OPT, constraints=CON)
