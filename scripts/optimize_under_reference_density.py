@@ -130,7 +130,14 @@ def run(name: str, replica: KrigingDensity, voxel: KrigingDensity):
     # "Iteration limit reached" (solution.success == false), so under the
     # same density model a converged continuation from their last iterate
     # is the apples-to-apples upper bound on their record.
-    warmstart = "ws" in parts[1:]
+    warmstart = "ws" in parts[1:] or "wsb" in parts[1:]
+    # "_wsb": warm-start AND match the reference's ACHIEVED material
+    # budget — its committed inversion/TPB points are (slightly)
+    # density-INFEASIBLE under its own model (e.g. 0.30063 vs eq 0.3),
+    # so re-optimizing with constraint value = their params' replica
+    # density is the only fully like-for-like comparison: same
+    # evaluator, same density model, same material allowance.
+    match_budget = "wsb" in parts[1:]
     spec = CONFIGS[base]
     lattice = build_lattice(spec["config"])
     t0 = time.time()
@@ -154,6 +161,22 @@ def run(name: str, replica: KrigingDensity, voxel: KrigingDensity):
             (theta_ref.size, problem.param.n_params)
         problem.param.x0 = np.clip(theta_ref, problem.param.lower,
                                    problem.param.upper)
+        # the number that settles the record dispute SAME-EVALUATOR: the
+        # reference's own final parameters priced by OUR simulation under
+        # ITS density model.  Their logged final_objective came from their
+        # evaluator; comparing our optimum to their params under one
+        # evaluator removes the remaining simulation-detail delta.
+        ref_obj_ours = float(problem.objective(problem.param.x0))
+        # their point restored to feasibility by the same uniform-shift
+        # projection our own results get (opti.optimizer.project_density):
+        # at the inversion's eq-0.3 constraint the restoration removes
+        # their 6.3e-4 density excess; the objective it prices THEN is
+        # the reference record on a feasible footing.
+        x_rest = problem.project_density(problem.param.x0)
+        ref_obj_restored = float(problem.objective(x_rest))
+        d_ref = float(problem.density(problem.param.x0))
+        if match_budget:
+            problem.constraints["relative_density"]["value"] = d_ref
 
     t0 = time.time()
     if warmstart:
@@ -196,9 +219,29 @@ def run(name: str, replica: KrigingDensity, voxel: KrigingDensity):
         "offline_s": round(t_off, 1),
     }
     row["beats_reference"] = row["objective"] <= row["reference_record_objective"]
+    if warmstart:
+        row["reference_params_objective_our_evaluator"] = ref_obj_ours
+        row["beats_reference_same_evaluator"] = (
+            row["objective"] <= ref_obj_ours)
+        row["reference_params_restored_objective"] = ref_obj_restored
+        row["beats_reference_restored"] = (
+            row["objective"] <= ref_obj_restored)
+        row["reference_params_density_replica_preclip"] = d_ref
+        if match_budget:
+            row["matched_budget"] = d_ref
+        rad_ref = np.asarray(problem.param.cell_radii(problem.param.x0),
+                             float)
+        # their own record logs final_relative_density 0.3000057 for the
+        # inversion (eq target 0.3, tolerance 0.0, success false): the
+        # committed reference records are (slightly) INFEASIBLE last
+        # iterates, ours are converged feasible points.
+        row["reference_params_density_replica"] = mean_density(
+            replica, rad_ref)
+        row["reference_logged_final_density"] = ref_rec["solution"].get(
+            "final_relative_density")
     rec = (spec["record"] + "_refdensity"
            + ("_constant" if constant else "")
-           + ("_ws" if warmstart else ""))
+           + ("_wsb" if match_budget else "_ws" if warmstart else ""))
     problem.save_optimization_json(OUT / f"{rec}.json", result)
 
     summary = (json.loads(SUMMARY.read_text()) if SUMMARY.exists() else {})
