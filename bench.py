@@ -55,7 +55,9 @@ def run_structured(n: int):
     # (Pallas matvec + frozen MG state, measured 2026-08-17) vs 2.41 s
     # with jacobi
     precond = os.environ.get("BENCH_PRECOND", "mg")
-    mg_opts = {"nu": int(os.environ.get("BENCH_MG_NU", "2")),
+    _nu = os.environ.get("BENCH_MG_NU", "2")   # "1,2" = per-level schedule
+    mg_opts = {"nu": (tuple(int(v) for v in _nu.split(","))
+                      if "," in _nu else int(_nu)),
                "coarse_degree": int(os.environ.get("BENCH_MG_COARSE", "24")),
                "smooth_frac": float(os.environ.get("BENCH_MG_FRAC", "0.25")),
                "power_iters": int(os.environ.get("BENCH_MG_POWER", "5"))}

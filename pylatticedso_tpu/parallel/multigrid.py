@@ -229,7 +229,11 @@ def build_mg_hierarchy(slat, free_field: np.ndarray, min_cells: int = 3,
         coarse = StructuredLattice(
             cur.geom, n_c, tuple(2.0 * np.asarray(cur.cell_size)),
             cur.E_mod, cur.nu, kappa=cur.kappa, dtype=cur.dtype,
-            cell_valid=cv_c)
+            cell_valid=cv_c,
+            # warped lattices: the coarse rediscretization applies the
+            # SAME world-coordinate point map, so coarse operators see
+            # the warped geometry too (positions are world coords)
+            node_transform=cur.node_transform)
         # even-index subsample, clamped to the coarse grid extent
         cx, cy, cz = coarse.grid
         sub = cur_free[:, :, 0::2, 0::2, 0::2][:, :, :cx, :cy, :cz]
@@ -325,10 +329,18 @@ def mg_precond_state(h: dict, radius_field: jnp.ndarray,
             "auxs_lo": auxs_lo}
 
 
-def mg_apply(h: dict, state: dict, nu: int = 2, coarse_degree: int = 24,
+def mg_apply(h: dict, state: dict, nu=2, coarse_degree: int = 24,
              smooth_frac: float = 0.25,
              lo_smoother: Optional[bool] = None) -> Callable:
     """V(nu,nu)-cycle application M(r) from a precomputed state.
+
+    ``nu`` may be a single degree or a per-level schedule (sequence,
+    clamped to its last entry for deeper levels): the fine level's
+    smoothing matvecs dominate the cycle cost (~1.1 ms each at 50^3 vs
+    near-free coarse-level Pallas launches), so e.g. ``nu=(1, 2)`` buys
+    ~2 fine matvecs per cycle against a small CG-iteration increase.
+    The cycle stays symmetric (pre == post at every level), so it
+    remains a valid SPD preconditioner for plain CG.
 
     ``lo_smoother`` runs the smoothing matvecs through the bf16-I/O Pallas
     kernel where available (halved smoother HBM traffic; the V-cycle
@@ -338,6 +350,9 @@ def mg_apply(h: dict, state: dict, nu: int = 2, coarse_degree: int = 24,
     import os
     if lo_smoother is None:
         lo_smoother = os.environ.get("PLDSO_MG_BF16") == "1"
+    nus = ([int(v) for v in nu] if isinstance(nu, (tuple, list))
+           else [int(nu)])
+    nu_at = lambda lvl: nus[min(lvl, len(nus) - 1)]
     levels: List[MGLevel] = h["levels"]
     nL = len(levels)
     radii, auxs, Ds, lmaxs = (state["radii"], state["auxs"], state["Ds"],
@@ -353,12 +368,13 @@ def mg_apply(h: dict, state: dict, nu: int = 2, coarse_degree: int = 24,
         if level == nL - 1:
             # coarsest: aggressive Chebyshev over (almost) the full spectrum
             return _chebyshev(Af, D, b, None, lmax, 1.0 / 64.0, coarse_degree)
-        x = _chebyshev(Af, D, b, None, lmax, smooth_frac, nu)       # pre
+        nu_l = nu_at(level)
+        x = _chebyshev(Af, D, b, None, lmax, smooth_frac, nu_l)     # pre
         r = b - Af(x)
         rc = levels[level + 1].free * h["restrict"][level](r)
         ec = vcycle(level + 1, rc)
         x = x + lvl.free * h["prolong"][level](levels[level + 1].free * ec)
-        return _chebyshev(Af, D, b, x, lmax, smooth_frac, nu)       # post
+        return _chebyshev(Af, D, b, x, lmax, smooth_frac, nu_l)     # post
 
     def M(r):
         return vcycle(0, r)
@@ -366,7 +382,7 @@ def mg_apply(h: dict, state: dict, nu: int = 2, coarse_degree: int = 24,
     return M
 
 
-def mg_preconditioner(h: dict, radius_field: jnp.ndarray, nu: int = 2,
+def mg_preconditioner(h: dict, radius_field: jnp.ndarray, nu=2,
                       coarse_degree: int = 24,
                       smooth_frac: float = 0.25,
                       power_iters: int = 10) -> Callable:

@@ -121,3 +121,28 @@ def test_frozen_precond_state_parity():
     c2, g2, _ = step(r0, None, ps)
     np.testing.assert_allclose(float(c2), float(c1), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_vcycle_nu_schedule_symmetric_and_converges():
+    """Per-level nu schedule (fine smooths less than coarse): the cycle
+    must stay a symmetric positive operator and still precondition."""
+    sl, free_n, f = _problem(4)
+    h = build_mg_hierarchy(sl, free_n)
+    r0 = jnp.full(sl.num_cells, 0.05, dtype=jnp.float64)
+    M = mg_preconditioner(h, r0, nu=(1, 2), coarse_degree=8)
+    rng = np.random.default_rng(3)
+    shape = (sl.nc, 6) + sl.grid
+    mask = np.broadcast_to(free_n[:, None], shape)
+    a = jnp.asarray(rng.normal(size=shape) * mask)
+    b = jnp.asarray(rng.normal(size=shape) * mask)
+    lhs = float(jnp.vdot(M(a).ravel(), b.ravel()))
+    rhs = float(jnp.vdot(a.ravel(), M(b).ravel()))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+    assert float(jnp.vdot(a.ravel(), M(a).ravel())) > 0
+    dt = jnp.float64
+    free = jnp.asarray(mask, dt)
+    matvec, _ = sl.make_matvec()
+    A = lambda u: free * matvec(free * u, r0) + (1.0 - free) * u
+    res = pcg(A, free * f, M=M, maxiter=300, tol=1e-8)
+    assert bool(res.converged)
