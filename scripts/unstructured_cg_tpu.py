@@ -71,12 +71,16 @@ if FORM == "structured":
           f"{6 * sl.n_nodes} DOF on {jax.devices()[0].platform}",
           flush=True)
     t0 = time.time()
-    c, g, u = step(r)
+    # frozen precond state (the bench protocol): the in-solve state build
+    # compiles a much larger graph (per-level power iterations) — its
+    # remote compile alone blew a 1200 s budget on 2026-08-20
+    pstate = step.precond_state(r)
+    c, g, u = step(r, None, pstate)
     jax.block_until_ready((c, g))
     print(f"cold solve+grad (compile incl.): {time.time() - t0:.1f} s",
           flush=True)
     t0 = time.time()
-    c, g, u = step(r * 1.001, u)
+    c, g, u = step(r * 1.001, u, pstate)
     jax.block_until_ready((c, g))
     dt = time.time() - t0
     print(f"warm solve+adjoint-grad: {dt * 1e3:.1f} ms total "
