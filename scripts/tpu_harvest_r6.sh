@@ -74,6 +74,7 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
       env BENCH_N=50 BENCH_MG_FRAC=0.35 python bench.py &&
   step bench_clean2_r6 900 '"vs_baseline": [0-9]' \
       env BENCH_N=50 python bench.py &&
+  step mg_sweep2 4800 "MG SWEEP2 DONE" env N=50 python scripts/mg_sweep2_tpu.py &&
   break
   sleep 60
 done

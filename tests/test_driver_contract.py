@@ -55,4 +55,4 @@ def test_dryrun_phase_failure_is_reported():
             g.dryrun_multichip(8)
     finally:
         subprocess.run = real_run
-    assert seen == ["unstructured", "structured", "hybrid"], seen
+    assert seen == ["unstructured", "structured", "hybrid", "mg"], seen
