@@ -55,11 +55,12 @@ def run_structured(n: int):
     # (Pallas matvec + frozen MG state, measured 2026-08-17) vs 2.41 s
     # with jacobi
     precond = os.environ.get("BENCH_PRECOND", "mg")
-    # per-level smoothing schedule (1 fine, 2 coarse) + bf16-I/O smoother
-    # kernel: 0.0611 s/step vs 0.0846 default-nu=2 in the same windows
-    # (data/outputs/tpu_queue/mg_sweep.log, 2026-08-20)
+    # per-level smoothing schedule + bf16-I/O smoother kernel.  nu=(1,1)
+    # measured best in the idle-host sweep: 0.0595 s/step vs 0.0625 for
+    # nu=(1,2) and 0.0603 for nu=1
+    # (data/outputs/tpu_queue/mg_sweep2.log, 2026-08-21)
     os.environ.setdefault("PLDSO_MG_BF16", "1")
-    _nu = os.environ.get("BENCH_MG_NU", "1,2")  # "1,2" = per-level schedule
+    _nu = os.environ.get("BENCH_MG_NU", "1,1")  # "1,1" = per-level schedule
     mg_opts = {"nu": (tuple(int(v) for v in _nu.split(","))
                       if "," in _nu else int(_nu)),
                "coarse_degree": int(os.environ.get("BENCH_MG_COARSE", "24")),

@@ -52,7 +52,8 @@ step() {
     echo "[$(stamp)] $name DONE rc=$rc; tail:"; tail -4 "$OUT/$name.log" | sed 's/^/    /'
     return 0
   fi
-  echo "[$(stamp)] $name incomplete rc=$rc; tail:"; tail -3 "$OUT/$name.log" | sed 's/^/    /'
+  # tail the LATEST attempt (the kept log may be an older, longer failure)
+  echo "[$(stamp)] $name incomplete rc=$rc; tail:"; tail -3 "$OUT/$name.attempt.log" | sed 's/^/    /'
   return 1
 }
 
