@@ -1,0 +1,74 @@
+#!/bin/bash
+# Round-5 measurement queue: wait for tunnel recovery AND an idle host,
+# then run (in order)
+#   1. bench_r5        — new nu=(1,1) default + extra.bitwise field
+#   2. profile_r5      — chained decomposition of the CURRENT 0.06 s step
+#   3. gspmd_smoke     — shard_structured_step on the real chip (1-dev mesh)
+#   4. cache_probe     — two-process compile-cache effectiveness
+# Logs in data/outputs/tpu_queue/.  Usage: bash scripts/tpu_harvest_r7.sh
+set -u
+cd "$(dirname "$0")/.."
+OUT=data/outputs/tpu_queue
+mkdir -p $OUT
+DEADLINE=$(( $(date +%s) + ${HARVEST_BUDGET:-28800} ))
+stamp() { date +%H:%M:%S; }
+
+probe() {
+  timeout 180 python - >/dev/null 2>&1 <<'PY'
+import jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+def k(x_ref, o_ref):
+    o_ref[...] = x_ref[...] * 2.0
+f = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))
+jax.jit(f)(jnp.ones((8, 128))).block_until_ready()
+PY
+}
+
+host_idle() {
+  awk '{exit !($1 < 0.6)}' /proc/loadavg
+}
+
+step() {
+  local name=$1 budget=$2 sentinel=$3; shift 3
+  grep -q "$sentinel" "$OUT/$name.log" 2>/dev/null && return 0
+  echo "[$(stamp)] try $name (budget ${budget}s)"
+  timeout "$budget" "$@" > "$OUT/$name.attempt.log" 2>&1
+  local rc=$?
+  if grep -q "$sentinel" "$OUT/$name.attempt.log" 2>/dev/null; then
+    cp "$OUT/$name.attempt.log" "$OUT/$name.log"
+  elif [ ! -f "$OUT/$name.log" ] || \
+     [ "$(wc -c < "$OUT/$name.attempt.log")" -ge "$(wc -c < "$OUT/$name.log")" ]; then
+    cp "$OUT/$name.attempt.log" "$OUT/$name.log"
+  fi
+  if grep -q "$sentinel" "$OUT/$name.log" 2>/dev/null; then
+    echo "[$(stamp)] $name DONE rc=$rc; tail:"; tail -5 "$OUT/$name.log" | sed 's/^/    /'
+    return 0
+  fi
+  echo "[$(stamp)] $name incomplete rc=$rc; tail:"; tail -3 "$OUT/$name.attempt.log" | sed 's/^/    /'
+  return 1
+}
+
+while [ "$(date +%s)" -lt "$DEADLINE" ]; do
+  if ! probe; then
+    echo "[$(stamp)] tunnel/mosaic down; sleeping 240s"
+    sleep 240
+    continue
+  fi
+  if ! host_idle; then
+    echo "[$(stamp)] tunnel UP but host busy ($(cut -d' ' -f1 /proc/loadavg)); sleeping 120s"
+    sleep 120
+    continue
+  fi
+  echo "[$(stamp)] tunnel UP, host idle"
+  step bench_r5 1500 '"vs_baseline": [0-9]' \
+      env BENCH_N=50 python bench.py &&
+  step profile_r5 3000 "PROFILE DONE" \
+      env N=50 python scripts/profile_step_tpu.py &&
+  step gspmd_smoke 2400 "GSPMD SMOKE DONE" \
+      env N=16 python scripts/gspmd_tpu_smoke.py &&
+  step cache_probe 3600 "CACHE PROBE DONE" \
+      env CACHE_FRESH=1 N=50 python scripts/cache_probe_tpu.py &&
+  break
+  sleep 60
+done
+echo "[$(stamp)] harvest r7 loop exit"
