@@ -78,6 +78,16 @@ def run_structured(n: int):
     pstate = step.precond_state(r0) if hasattr(step, "precond_state") else None
     c, g, u = step(r0, None, pstate)
     jax.block_until_ready((c, g, u))
+    # BASELINE north-star clause: repeated identical solves are
+    # bitwise-stable (fixed reduction orders; holds with the bf16-MG
+    # smoother).  A distinct dispatch is interleaved so the tunnel's
+    # memoization of back-to-back identical executions can't make the
+    # comparison vacuous.
+    jax.block_until_ready(step(r0 * 1.0005, None, pstate))
+    c_b, g_b, _ = step(r0, None, pstate)
+    jax.block_until_ready((c_b, g_b))
+    bitwise = bool(np.asarray(c).tobytes() == np.asarray(c_b).tobytes()
+                   and np.asarray(g).tobytes() == np.asarray(g_b).tobytes())
     K_STEPS = int(os.environ.get("BENCH_STEPS", "8"))
     # the tunneled TPU's throughput flaps by up to ~6x on a minutes scale:
     # time BENCH_REPEATS descent windows and keep the BEST one (min), the
@@ -88,16 +98,24 @@ def run_structured(n: int):
     # converge and time near-no-op solves) while the dispatch sequences stay
     # distinct (the tunnel memoizes repeated identical executions).
     REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+    # BENCH_WARM=extrap: secant warm start u0 = u_k + c*(u_k - u_{k-1})
+    # (radii move smoothly along the descent, so the solution does too);
+    # cuts CG iterations when the predictor beats plain u_k
+    extrap = os.environ.get("BENCH_WARM") == "extrap"
+    e_c = float(os.environ.get("BENCH_EXTRAP", "1.0"))
     lr = 1e-4
     windows = []
     for rep in range(REPEATS):
         rr = r0 * (1.0 + 1e-3 * (rep + 1))
-        cc, uu = c, u
+        cc, uu, uu_p = c, u, None
         t1 = time.time()
         for k in range(K_STEPS):
             if pstate is not None and refresh > 0 and k > 0 and k % refresh == 0:
                 pstate = step.precond_state(rr)
-            cc, gg, uu = step(rr, uu, pstate)  # warm-started, frozen M
+            x0 = (uu + e_c * (uu - uu_p)
+                  if extrap and uu_p is not None else uu)
+            cc, gg, uu_new = step(rr, x0, pstate)  # warm-started, frozen M
+            uu_p, uu = uu, uu_new
             rr = jnp.clip(rr - lr * gg, 0.01, 0.1)
         jax.block_until_ready((cc, rr))
         windows.append(time.time() - t1)
@@ -122,6 +140,7 @@ def run_structured(n: int):
             "host_build_s": round(build_s, 2),
             "cg_tol": tol,
             "precond": precond,
+            "bitwise": bitwise,
         },
     }))
 

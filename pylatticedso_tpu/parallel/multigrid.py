@@ -303,6 +303,90 @@ def _chebyshev(A: Callable, D: jnp.ndarray, b: jnp.ndarray,
     return x + d
 
 
+def _mg_apply_fused(h: dict, state: dict, nus, nu_at,
+                    coarse_degree: int, smooth_frac: float) -> Callable:
+    """V-cycle built from the fused-smoother Pallas kernels
+    (stencil_pallas.py ``apply.fused``): each Chebyshev body step is ONE
+    kernel launch (stencil + all vector updates), the mid-cycle residual
+    is one launch, and coarse single-program levels run their ENTIRE
+    smoother (including the degree-``coarse_degree`` coarsest sweep) in
+    one launch.  Smoother vectors stay in the kernels' aligned flat
+    layout between launches (dtype: PLDSO_MG_FUSED_DTYPE, default bf16).
+
+    Semantically identical to the unfused V-cycle up to the storage
+    rounding of the intermediate smoother vectors — the preconditioner
+    stays a fixed deterministic SPD-ish operator, so plain CG remains
+    valid.  Enable with PLDSO_MG_FUSED=1.
+    """
+    levels: List[MGLevel] = h["levels"]
+    nL = len(levels)
+    lmaxs, fused_ops = state["lmaxs"], state["fused"]
+    fzs = [lvl.matvec.apply.fused for lvl in levels]
+    f32 = jnp.float32
+
+    def _scalars(level, frac):
+        lmax = lmaxs[level].astype(f32)
+        inv_theta = 2.0 / ((1.0 + frac) * lmax)
+        inv_delta = 2.0 / ((1.0 - frac) * lmax)
+        return fzs[level].sc(inv_theta, inv_delta)
+
+    def _smooth_flat(level, b_flat, x0_flat, deg, frac):
+        fz, st = fzs[level], fused_ops[level]
+        io = b_flat.dtype
+        sc = _scalars(level, frac)
+        if fz.single_ok:
+            if x0_flat is None:
+                return fz.cheb_full(io, frac, deg, False)(
+                    b_flat, st["fdinv"], sc, st["r2"])
+            return fz.cheb_full(io, frac, deg, True)(
+                b_flat, x0_flat, st["fdinv"], sc, st["r2"])
+        if x0_flat is None:
+            x = jnp.zeros_like(b_flat)
+            r = b_flat
+        else:
+            x = x0_flat
+            r = fz.residual(io)(b_flat, x0_flat, st["fm"], st["r2"])
+        inv_theta = sc[0:1, 0:1].astype(f32)
+        d = (r.astype(f32) * st["fdinv"].astype(f32)
+             * inv_theta).astype(io)
+        for k, (c1, c2) in enumerate(fz.cheb_static(frac, deg)):
+            out = fz.cheb_run(io, c1, c2, k == deg - 1)(
+                x, r, d, st["fdinv"], sc, st["r2"])
+            if k == deg - 1:
+                return out
+            x, r, d = out
+
+    def vcycle(level: int, b) -> jnp.ndarray:
+        fz, st = fzs[level], fused_ops[level]
+        io = st["fdinv"].dtype
+        b_flat = fz.to_flat(b, io)
+        if level == nL - 1:
+            x = _smooth_flat(level, b_flat, None, coarse_degree,
+                             1.0 / 64.0)
+            return fz.from_flat(x, b.dtype)
+        deg = nu_at(level)
+        x_flat = _smooth_flat(level, b_flat, None, deg, smooth_frac)
+        r_flat = fzs[level].residual(io)(b_flat, x_flat, st["fm"],
+                                         st["r2"])
+        # transfers in the smoother dtype: the einsum transfer pair is
+        # ~1.8 ms at 50^3 (profile_r5) and preconditioner-internal, so
+        # its precision only shapes M, never the CG fixed point
+        r_field = fz.from_flat(r_flat, io)
+        free_c = jnp.asarray(levels[level + 1].free, io)
+        rc = free_c * h["restrict"][level](r_field)
+        ec = vcycle(level + 1, rc)
+        corr = jnp.asarray(levels[level].free, io) * h["prolong"][level](
+            free_c * ec)
+        x_corr = x_flat + fz.to_flat(corr, io)
+        x2 = _smooth_flat(level, b_flat, x_corr, deg, smooth_frac)
+        return fz.from_flat(x2, b.dtype)
+
+    def M(r):
+        return vcycle(0, r)
+
+    return M
+
+
 # ------------------------------------------------------------- V-cycle
 def mg_precond_state(h: dict, radius_field: jnp.ndarray,
                      power_iters: int = 10) -> dict:
@@ -325,13 +409,37 @@ def mg_precond_state(h: dict, radius_field: jnp.ndarray,
                                     iters=power_iters))
     Ds = [lvl.D(rad) for lvl, rad in zip(levels, radii)]
     auxs_lo = [lvl.prepare_lo(aux) for lvl, aux in zip(levels, auxs)]
+    # fused-smoother operands (stencil_pallas fused kernels): per-level
+    # masked-inverse-diagonal, free-mask and r^2 flats in the smoother's
+    # aligned ghost-padded layout.  None per level when the level's
+    # matvec has no fused form (gather fallback, warped lattices).
+    import os as _os
+    io = (jnp.bfloat16
+          if _os.environ.get("PLDSO_MG_FUSED_DTYPE", "bf16") == "bf16"
+          else jnp.float32)
+    fused_ops = []
+    for lvl, aux, D in zip(levels, auxs, Ds):
+        fz = getattr(getattr(lvl.matvec, "apply", None), "fused", None)
+        if (aux is None or fz is None or not fz.ok
+                or _os.environ.get("PLDSO_MG_FUSED") != "1"):
+            # only materialize the fused-smoother operand flats when the
+            # fused V-cycle is enabled — keeps the default state pytree
+            # (and every sharded/frozen-state consumer) unchanged
+            fused_ops.append(None)
+            continue
+        fused_ops.append({
+            "fdinv": fz.to_flat(lvl.free / D, io),
+            "fm": fz.to_flat(lvl.free, io),
+            "r2": fz.repad_r2(aux, io),
+        })
     return {"radii": radii, "auxs": auxs, "Ds": Ds, "lmaxs": lmaxs,
-            "auxs_lo": auxs_lo}
+            "auxs_lo": auxs_lo, "fused": fused_ops}
 
 
 def mg_apply(h: dict, state: dict, nu=2, coarse_degree: int = 24,
              smooth_frac: float = 0.25,
-             lo_smoother: Optional[bool] = None) -> Callable:
+             lo_smoother: Optional[bool] = None,
+             fused: Optional[bool] = None) -> Callable:
     """V(nu,nu)-cycle application M(r) from a precomputed state.
 
     ``nu`` may be a single degree or a per-level schedule (sequence,
@@ -358,6 +466,12 @@ def mg_apply(h: dict, state: dict, nu=2, coarse_degree: int = 24,
     radii, auxs, Ds, lmaxs = (state["radii"], state["auxs"], state["Ds"],
                               state["lmaxs"])
     auxs_lo = state.get("auxs_lo", [None] * nL)
+    fused_ops = state.get("fused", [None] * nL)
+    if fused is None:
+        fused = os.environ.get("PLDSO_MG_FUSED") == "1"
+    if fused and all(f is not None for f in fused_ops):
+        return _mg_apply_fused(h, state, nus, nu_at, coarse_degree,
+                               smooth_frac)
 
     def vcycle(level: int, b: jnp.ndarray) -> jnp.ndarray:
         lvl, rad, D, lmax = levels[level], radii[level], Ds[level], lmaxs[level]

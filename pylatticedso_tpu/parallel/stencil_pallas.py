@@ -268,6 +268,7 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
             f"min estimate {_vmem_est(Tmin, False)/1e6:.1f}M > "
             f"{budget/1e6:.1f}M")
     T, once = sel
+    _T_sel = T
     dense = _os.environ.get("PLDSO_PALLAS_DENSE") == "1" or once
     nprog = -(-F // T)
     Fp = nprog * T
@@ -288,15 +289,21 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
     coefs_dev = jnp.asarray(coef_np)
     n_coef = coef_np.shape[1]
 
-    def make_kernel(io_dtype):
-        """Kernel body; loads upcast ``io_dtype`` -> f32 (all arithmetic
-        stays f32), output downcast to ``io_dtype``.  bf16 I/O halves the
-        kernel's HBM traffic — used for the multigrid SMOOTHER matvecs
-        (the preconditioner is any fixed operator; the outer CG matvec
-        stays f32)."""
+    def make_stencil_acc(T, ct=jnp.float32):
+        """Shared stencil accumulation: (up, uc, un, rp, rc, rn, coefs,
+        cache) -> per-class (6, T) contributions of K.u.  ``up/uc/un`` may
+        be VMEM refs (pipelined tiles) or plain jnp arrays already in VMEM
+        (the single-program multi-step smoother re-applies the stencil to
+        values it just computed) — both support the same slicing.
 
-        def kernel(up, uc, un, rp, rc, rn, coefs, out_ref):
-            cache = {}
+        ``ct``: the in-kernel compute dtype for the dense form (fused
+        smoother kernels may use bfloat16 — the preconditioner is any
+        fixed operator; NEVER for the outer CG matvec).  The legacy
+        non-dense branch mixes f32 scalars and stays f32-only."""
+        if ct != jnp.float32 and not dense:
+            ct = jnp.float32
+
+        def stencil_acc(up, uc, un, rp, rc, rn, coefs, cache):
 
             def window(prev, cur, nxt, row0, nrows, a, w):
                 """(nrows, w) f32 window at static logical columns
@@ -317,7 +324,7 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
                         parts.append(ref[rs, s - lo:e - lo])
                 out = parts[0] if len(parts) == 1 \
                     else jnp.concatenate(parts, axis=1)
-                out = out.astype(jnp.float32)
+                out = out.astype(ct)
                 cache[key] = out
                 return out
 
@@ -325,7 +332,11 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
                 return window(prev, cur, nxt, row0, nrows, off, T)
 
             def coef_col(j):
-                return coefs[0:6, j:j + 1]        # (6, 1) sublane slice
+                key = ("coef", j)
+                if key not in cache:
+                    # (6, 1) sublane slice, in the compute dtype
+                    cache[key] = coefs[0:6, j:j + 1].astype(ct)
+                return cache[key]
 
             def stiffness_rows(r2, key):
                 """K (6, w): [ES, kGS, kGS, GJ, EI, EI] from r^2, built as
@@ -348,7 +359,7 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
                     out = term if out is None else out + term
                 return out
 
-            acc = [jnp.zeros((6, T), jnp.float32) for _ in range(nc)]
+            acc = [jnp.zeros((6, T), ct) for _ in range(nc)]
 
             def edge_once(rA, rB):
                 """Compute-once form: strains + internal forces of one
@@ -466,6 +477,20 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
                 rows = [jnp.zeros((T,), jnp.float32)
                         if isinstance(q, float) else q for q in rows]
                 acc[cs] = acc[cs] + jnp.stack(rows)
+            return acc
+
+        return stencil_acc
+
+    def make_kernel(io_dtype, T=None):
+        """Plain matvec kernel; loads upcast ``io_dtype`` -> f32 (all
+        arithmetic stays f32), output downcast to ``io_dtype``.  bf16 I/O
+        halves the kernel's HBM traffic — used for the multigrid SMOOTHER
+        matvecs (the preconditioner is any fixed operator; the outer CG
+        matvec stays f32)."""
+        stencil_acc = make_stencil_acc(T if T is not None else _T_sel)
+
+        def kernel(up, uc, un, rp, rc, rn, coefs, out_ref):
+            acc = stencil_acc(up, uc, un, rp, rc, rn, coefs, {})
             out_ref[:] = jnp.concatenate(acc, axis=0).astype(io_dtype)
 
         return kernel
@@ -558,5 +583,274 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
 
     apply.lo = apply_lo
     apply.prepare_lo = lambda r2f: r2f.astype(jnp.bfloat16)
+
+    # ------------------------------------------------ fused MG smoother
+    # Kernels that fuse the multigrid smoother's vector algebra into the
+    # stencil pass (multigrid.py:_chebyshev body):
+    #     x <- x + d;   r <- r - K d;   d <- c1_k d + (c2_k/delta) r*fDinv
+    # Key fact: the Chebyshev rho-recurrence depends only on the STATIC
+    # spectrum fraction (sigma = (1+frac)/(1-frac)), so the per-step
+    # c1/c2 are Python floats baked into the kernel; the only traced
+    # scalars are 1/theta and 1/delta, passed as one tiny VMEM operand.
+    # On single-program grids (coarse MG levels, where the whole padded
+    # field fits one tile) `cheb_full` runs the ENTIRE degree-nu smoother
+    # — including the x0 residual — in ONE kernel launch: ghost columns
+    # of d stay exactly zero across in-VMEM iterations (d-updates
+    # multiply by fDinv, whose ghost columns are zero), so re-applying
+    # the stencil to just-computed values is safe without halo exchange.
+    # All vectors live in the ghost-padded aligned flat layout
+    # (rows_in, Fp_f) so kernel outputs feed the next kernel unconverted.
+
+    def _cheb_static(frac, degree):
+        sigma = (1.0 + frac) / (1.0 - frac)
+        rho, out = 1.0 / sigma, []
+        for _ in range(degree):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            out.append((rho_new * rho, 2.0 * rho_new))
+            rho = rho_new
+        return out
+
+    class _Fused:
+        pass
+
+    fused = _Fused()
+
+    # fused tile: same halo constraint, extra pointwise blocks (worst
+    # case cheb_run: x, r, fdinv, sc in + x', r', d' out ~= 6*rows_in).
+    # If the WHOLE padded field fits one tile under the fused budget
+    # (coarse MG levels), prefer it even when it exceeds the default
+    # tile: single-program unlocks the one-launch full-smoother kernel.
+    def _fits(Tc):
+        return _vmem_est(Tc, once) + 4 * Tc * 6 * rows_in * 2 <= budget
+
+    T_full = max(-(-F // 128) * 128, Tmin)
+    _tf = T_full if _fits(T_full) else None
+    if _tf is None:
+        for Tc in range(T, Tmin - 1, -128):
+            if _fits(Tc):
+                _tf = Tc
+                break
+    fused.ok = _tf is not None
+    if fused.ok:
+        T_f = _tf
+        nprog_f = -(-F // T_f)
+        Fp_f = nprog_f * T_f
+        # single-program full-smoother feasibility (coarse levels): the
+        # whole field in VMEM + per-edge window temporaries
+        fused.single_ok = nprog_f == 1
+        fused.rows = rows_in
+        fused.Fp = Fp_f
+        fused.dtypes = (jnp.float32, jnp.bfloat16)
+
+        def to_flat8(u, io):
+            up = jnp.pad(u, ((0, 0), (0, row_stride - 6),
+                             (0, 0), (0, 0), (0, 0)))
+            up = jnp.pad(up, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
+            flat = up.reshape(rows_in, F)
+            return jnp.pad(flat, ((0, 0), (0, Fp_f - F))).astype(io)
+
+        def from_flat8(flat, dtype=jnp.float32):
+            up = flat[:, :F].astype(dtype).reshape(nc, row_stride,
+                                                   Xp, Yp, Zp)
+            return up[:, :6, 1:-1, 1:-1, 1:-1]
+
+        def repad_r2(r2f, io):
+            """matvec-layout [n_e, Fp] r^2 flats -> fused layout
+            [n_e, Fp_f]."""
+            base = r2f[:, :F]
+            return jnp.pad(base, ((0, 0), (0, Fp_f - F))).astype(io)
+
+        fused.to_flat = to_flat8
+        fused.from_flat = from_flat8
+        fused.repad_r2 = repad_r2
+        fused.sc = lambda inv_theta, inv_delta: jnp.broadcast_to(
+            jnp.stack([inv_theta, inv_delta]
+                      ).astype(jnp.float32)[None, :], (8, 2))
+
+        def _halo_specs(rows, Tc, np_):
+            return [
+                pl.BlockSpec((rows, Tc), lambda i: (0, jnp.maximum(i - 1, 0)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, Tc), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, Tc),
+                             lambda i: (0, jnp.minimum(i + 1, np_ - 1)),
+                             memory_space=pltpu.VMEM),
+            ]
+
+        def _pt_spec(rows, Tc):
+            return pl.BlockSpec((rows, Tc), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        _spec_sc = pl.BlockSpec((8, 2), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        _spec_coef_f = pl.BlockSpec((8, n_coef), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+
+        def _pad_acc(acc, io):
+            """per-class (6, T) list -> (rows_in, T) with zero pad rows."""
+            z = jnp.zeros((row_stride - 6, acc[0].shape[1]), acc[0].dtype)
+            return jnp.concatenate(
+                [jnp.concatenate([a, z], axis=0) for a in acc],
+                axis=0).astype(io)
+
+        _cache = {}
+
+        def _residual_call(io):
+            ct = (jnp.bfloat16 if _os.environ.get(
+                "PLDSO_MG_FUSED_COMPUTE") == "bf16" else jnp.float32)
+            key = ("res", jnp.dtype(io).name, jnp.dtype(ct).name)
+            if key in _cache:
+                return _cache[key]
+            stencil_acc = make_stencil_acc(T_f, ct)
+
+            def kernel(xp_, xc_, xn_, rp_, rc_, rn_, coefs, b_, fm_,
+                       out_ref):
+                acc = stencil_acc(xp_, xc_, xn_, rp_, rc_, rn_, coefs, {})
+                kx = _pad_acc(acc, jnp.float32)
+                out_ref[:] = (fm_[...].astype(jnp.float32)
+                              * (b_[...].astype(jnp.float32) - kx)
+                              ).astype(io)
+
+            call = pl.pallas_call(
+                kernel, grid=(nprog_f,),
+                in_specs=(_halo_specs(rows_in, T_f, nprog_f)
+                          + _halo_specs(n_e, T_f, nprog_f)
+                          + [_spec_coef_f, _pt_spec(rows_in, T_f),
+                             _pt_spec(rows_in, T_f)]),
+                out_specs=_pt_spec(rows_in, T_f),
+                out_shape=jax.ShapeDtypeStruct((rows_in, Fp_f), io),
+                cost_estimate=pl.CostEstimate(
+                    flops=110 * len(recs) * F, transcendentals=0,
+                    bytes_accessed=jnp.dtype(io).itemsize
+                    * (6 * rows_in + 3 * n_e) * Fp_f),
+                interpret=interpret,
+            )
+            _cache[key] = lambda b, x, fm, r2f: call(
+                x, x, x, r2f, r2f, r2f, coefs_dev, b, fm)
+            return _cache[key]
+
+        def _cheb_run_call(io, c1, c2, final):
+            """One fused Chebyshev body step (+ optional final x+d+d'
+            emit).  c1/c2 are the static rho-recurrence floats for this
+            step; the traced 1/delta arrives via the sc operand."""
+            ct = (jnp.bfloat16 if _os.environ.get(
+                "PLDSO_MG_FUSED_COMPUTE") == "bf16" else jnp.float32)
+            key = ("run", jnp.dtype(io).name, jnp.dtype(ct).name,
+                   c1, c2, final)
+            if key in _cache:
+                return _cache[key]
+            stencil_acc = make_stencil_acc(T_f, ct)
+
+            def kernel(dp_, dc_, dn_, rp_, rc_, rn_, coefs, x_, r_, fd_,
+                       sc_, *outs):
+                acc = stencil_acc(dp_, dc_, dn_, rp_, rc_, rn_, coefs, {})
+                kd = _pad_acc(acc, jnp.float32)
+                d_cur = dc_[...].astype(jnp.float32)
+                x1 = x_[...].astype(jnp.float32) + d_cur
+                r1 = r_[...].astype(jnp.float32) - kd
+                inv_delta = sc_[0:1, 1:2]
+                d1 = (c1 * d_cur
+                      + (c2 * inv_delta) * r1 * fd_[...].astype(jnp.float32))
+                if final:
+                    outs[0][:] = (x1 + d1).astype(io)
+                else:
+                    outs[0][:] = x1.astype(io)
+                    outs[1][:] = r1.astype(io)
+                    outs[2][:] = d1.astype(io)
+
+            n_out = 1 if final else 3
+            call = pl.pallas_call(
+                kernel, grid=(nprog_f,),
+                in_specs=(_halo_specs(rows_in, T_f, nprog_f)
+                          + _halo_specs(n_e, T_f, nprog_f)
+                          + [_spec_coef_f] + [_pt_spec(rows_in, T_f)] * 3
+                          + [_spec_sc]),
+                out_specs=[_pt_spec(rows_in, T_f)] * n_out,
+                out_shape=[jax.ShapeDtypeStruct((rows_in, Fp_f), io)] * n_out,
+                cost_estimate=pl.CostEstimate(
+                    flops=110 * len(recs) * F, transcendentals=0,
+                    bytes_accessed=jnp.dtype(io).itemsize
+                    * ((6 + n_out) * rows_in + 3 * n_e) * Fp_f),
+                interpret=interpret,
+            )
+
+            def run(x, r, d, fd, sc, r2f):
+                out = call(d, d, d, r2f, r2f, r2f, coefs_dev, x, r, fd, sc)
+                return out[0] if final else tuple(out)
+
+            _cache[key] = run
+            return _cache[key]
+
+        def _cheb_full_call(io, frac, degree, with_x0):
+            """Single-program-only: the ENTIRE Chebyshev smoother (x0
+            residual + degree body steps + final emit) in one launch."""
+            ct = (jnp.bfloat16 if _os.environ.get(
+                "PLDSO_MG_FUSED_COMPUTE") == "bf16" else jnp.float32)
+            key = ("full", jnp.dtype(io).name, jnp.dtype(ct).name,
+                   frac, degree, with_x0)
+            if key in _cache:
+                return _cache[key]
+            stencil_acc = make_stencil_acc(T_full, ct)
+            cs = _cheb_static(frac, degree)
+
+            def kernel(*refs):
+                if with_x0:
+                    (b_, x0_, fd_, sc_, r2_, coefs, out_ref) = refs
+                else:
+                    (b_, fd_, sc_, r2_, coefs, out_ref) = refs
+                r2v = r2_[...]
+                cache = {}
+                inv_theta = sc_[0:1, 0:1]
+                inv_delta = sc_[0:1, 1:2]
+                b = b_[...].astype(jnp.float32)
+                fd = fd_[...].astype(jnp.float32)
+                if with_x0:
+                    x = x0_[...].astype(jnp.float32)
+                    acc = stencil_acc(x, x, x, r2v, r2v, r2v, coefs, cache)
+                    r = b - _pad_acc(acc, jnp.float32)
+                else:
+                    x = jnp.zeros((rows_in, T_full), jnp.float32)
+                    r = b
+                d = (r * fd) * inv_theta
+                for c1, c2 in cs:
+                    acc = stencil_acc(d, d, d, r2v, r2v, r2v, coefs, cache)
+                    kd = _pad_acc(acc, jnp.float32)
+                    x = x + d
+                    r = r - kd
+                    d = c1 * d + (c2 * inv_delta) * r * fd
+                out_ref[:] = (x + d).astype(io)
+
+            pt = [_pt_spec(rows_in, T_full)]
+            specs = (pt + (pt if with_x0 else [])
+                     + pt + [_spec_sc,
+                             pl.BlockSpec((n_e, T_full), lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM),
+                             _spec_coef_f])
+            call = pl.pallas_call(
+                kernel, grid=(1,),
+                in_specs=specs,
+                out_specs=_pt_spec(rows_in, T_full),
+                out_shape=jax.ShapeDtypeStruct((rows_in, T_full), io),
+                cost_estimate=pl.CostEstimate(
+                    flops=110 * len(recs) * F * (degree + int(with_x0)),
+                    transcendentals=0,
+                    bytes_accessed=jnp.dtype(io).itemsize
+                    * ((3 + int(with_x0)) * rows_in + n_e) * T_full),
+                interpret=interpret,
+            )
+            if with_x0:
+                fn = lambda b, x0, fd, sc, r2f: call(b, x0, fd, sc,
+                                                     r2f, coefs_dev)
+            else:
+                fn = lambda b, fd, sc, r2f: call(b, fd, sc, r2f, coefs_dev)
+            _cache[key] = fn
+            return _cache[key]
+
+        fused.residual = _residual_call
+        fused.cheb_run = _cheb_run_call
+        fused.cheb_full = _cheb_full_call
+        fused.cheb_static = _cheb_static
+    apply.fused = fused
     return prepare, apply
 

@@ -592,8 +592,14 @@ class StructuredLattice:
             from .stencil_pallas import make_pallas_matvec, pallas_supported
             if pallas_supported(self) and self.dtype == jnp.float32:
                 try:
+                    # PLDSO_PALLAS_INTERPRET=1: emulated kernels (CPU
+                    # tests of the pallas-only paths, e.g. the fused MG
+                    # smoother) — orders of magnitude slower, never for
+                    # real runs
                     prep_p, apply_p = make_pallas_matvec(
-                        self, prepare_gather, apply_gather)
+                        self, prepare_gather, apply_gather,
+                        interpret=os.environ.get(
+                            "PLDSO_PALLAS_INTERPRET") == "1")
                 except ValueError:
                     # template too wide for the scoped-VMEM budget at any
                     # legal tile (e.g. 16-class hybrids at large N, where

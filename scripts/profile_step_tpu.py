@@ -73,12 +73,14 @@ b = free * f
 r0 = jnp.full(slat.num_cells, 0.05, jnp.float32)
 
 mg_hier = build_mg_hierarchy(slat, free_np)
-pstate = jax.jit(lambda r: mg_precond_state(mg_hier, r,
-                                            power_iters=POWER))(r0)
+_pstate_jit = jax.jit(lambda r: mg_precond_state(mg_hier, r,
+                                                 power_iters=POWER))
+pstate = _pstate_jit(r0)
 jax.block_until_ready(pstate)
 t0 = time.time()
-jax.block_until_ready(jax.jit(
-    lambda r: mg_precond_state(mg_hier, r, power_iters=POWER))(r0 * 1.001))
+# SAME jitted callable (a fresh lambda would recompile: the r4 run
+# reported 13.7 s here, which was compile time, not execution)
+jax.block_until_ready(_pstate_jit(r0 * 1.001))
 t_pstate = time.time() - t0
 M = mg_apply(mg_hier, pstate, nu=NU, coarse_degree=DEG, smooth_frac=FRAC)
 
@@ -153,11 +155,17 @@ print(f"  V-cycle decomposition: 2*cheb + resid + transfers "
 K_STEPS = int(os.environ.get("STEPS", "8"))
 
 
+PERT = float(os.environ.get("PERT", "1e-5"))
+# bench-like magnitude: a descent step moves r by ~lr*|g| ~ 3e-6
+# relative; the r4 profile used 1e-4 and measured 41-iter warm solves vs
+# the bench's ~7 — the warm-start quality is THAT sensitive
+
+
 @jax.jit
 def solve_chain(r_, u0):
     def body(carry, k):
         r, u = carry
-        rk = r * (1.0 + 1e-4 * (k + 1).astype(jnp.float32))
+        rk = r * (1.0 + PERT * (k + 1).astype(jnp.float32))
         auxk = matvec.prepare(rk)
         A = lambda v: free * matvec.apply(free * v, auxk) + (1 - free) * v
         out = pcg(A, b, M=M, x0=u * free, maxiter=6000, tol=TOL)

@@ -60,19 +60,11 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     continue
   fi
   echo "[$(stamp)] tunnel UP, host idle"
-  step bench_r5 1500 '"vs_baseline": [0-9]' \
-      env BENCH_N=50 python bench.py &&
-  step profile_r5 3000 "PROFILE DONE" \
-      env N=50 python scripts/profile_step_tpu.py &&
-  step gspmd_smoke 2400 "GSPMD SMOKE DONE" \
-      env N=16 python scripts/gspmd_tpu_smoke.py &&
-  step cache_probe 3600 "CACHE PROBE DONE" \
-      env CACHE_FRESH=1 N=50 python scripts/cache_probe_tpu.py &&
-  step unstructured_converge 3000 "UNSTRUCTURED CONVERGE DONE" \
-      env N=50 python scripts/unstructured_cg_tpu.py converge &&
-  step ddm_ab 10800 "DDM AB DONE" \
-      env EVALS=6 python scripts/ddm_ab_tpu.py &&
+  step mg_fused_ab 4800 "MG FUSED AB DONE" \
+      env N=50 python scripts/mg_fused_ab_tpu.py &&
+  step bench_extrap 1500 '"vs_baseline": [0-9]' \
+      env BENCH_N=50 BENCH_WARM=extrap python bench.py &&
   break
   sleep 60
 done
-echo "[$(stamp)] harvest r7 loop exit"
+echo "[$(stamp)] harvest r8 loop exit"

@@ -94,3 +94,42 @@ def test_linear_solve_refined_gradient_matches_analytic():
     lam = np.linalg.solve(Ath, np.ones_like(b64))
     expected = -lam @ x
     np.testing.assert_allclose(float(g), expected, rtol=1e-8)
+
+
+def test_structured_step_bitwise_deterministic(monkeypatch):
+    """BASELINE north-star clause: repeated identical solves are
+    bitwise-stable.  XLA:TPU (and CPU) lowers our reductions and the MG
+    V-cycle with fixed reduction orders, so the same program on the same
+    inputs must return the exact same bits — including with the bf16-I/O
+    smoother the bench uses.  Guards against nondeterministic rewrites
+    (atomic scatter-adds, reduction reassociation) creeping into the hot
+    path."""
+    from pylatticedso_tpu.parallel.structured import (
+        StructuredLattice, make_structured_compliance_step)
+
+    monkeypatch.setenv("PLDSO_MG_BF16", "1")
+    n = 4
+    sl = StructuredLattice("BCC", (n, n, n), (1., 1., 1.), 1013.0, 0.3,
+                           dtype=jnp.float32)
+    fixed = sl.select_nodes(lambda x, y, z: z == 0.0)
+    top = sl.select_nodes(lambda x, y, z: z == float(n))
+    free = sl.node_valid & ~fixed
+    f = np.zeros((sl.nc, 6) + sl.grid, dtype=np.float32)
+    for c in range(sl.nc):
+        f[c, 2][top[c]] = -1.0 / int(top.sum())
+    step = make_structured_compliance_step(
+        sl, free, f, tol=1e-6, maxiter=500, precond="mg",
+        mg_opts={"nu": (1, 1), "coarse_degree": 8, "power_iters": 3})
+    r0 = jnp.asarray(np.random.default_rng(7).uniform(0.03, 0.08, (n, n, n)),
+                     dtype=jnp.float32)
+    ps = step.precond_state(r0)
+    c1, g1, u1 = jax.block_until_ready(step(r0, None, ps))
+    c2, g2, u2 = jax.block_until_ready(step(r0, None, ps))
+    assert np.asarray(c1).tobytes() == np.asarray(c2).tobytes()
+    assert np.asarray(g1).tobytes() == np.asarray(g2).tobytes()
+    assert np.asarray(u1).tobytes() == np.asarray(u2).tobytes()
+    # warm-started continuation is deterministic too
+    c3, g3, u3 = jax.block_until_ready(step(r0, u1, ps))
+    c4, g4, u4 = jax.block_until_ready(step(r0, u2, ps))
+    assert np.asarray(c3).tobytes() == np.asarray(c4).tobytes()
+    assert np.asarray(g3).tobytes() == np.asarray(g4).tobytes()

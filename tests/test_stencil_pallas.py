@@ -113,3 +113,157 @@ def test_mg_bf16_smoother_preconditioner_converges():
     np.testing.assert_allclose(float(c_lo), float(c_hi), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_lo), np.asarray(g_hi),
                                rtol=1e-4, atol=1e-10)
+
+
+class TestFusedSmoother:
+    """Fused MG-smoother kernels (apply.fused) vs the plain XLA path
+    (interpret mode).  The fused V-cycle must reproduce mg_apply exactly
+    (f32 storage) and the bench solve must converge identically."""
+
+    def _setup(self, geom="BCC", n=4):
+        slat = StructuredLattice(geom, (n, n, n), (1.0, 1.0, 1.0),
+                                 1013.0, 0.3)
+        mv, _ = slat.make_matvec()
+        prep_p, apply_p = make_pallas_matvec(slat, mv.prepare, mv.apply,
+                                             tile=1024, interpret=True)
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.standard_normal((slat.nc, 6) + slat.grid),
+                        jnp.float32)
+        r = jnp.asarray(0.04 + 0.05 * rng.random((n, n, n)), jnp.float32)
+        fixed = slat.select_nodes(lambda x, y, z: z == 0.0)
+        fm = jnp.asarray(np.broadcast_to(
+            (slat.node_valid & ~fixed)[:, None],
+            (slat.nc, 6) + slat.grid), jnp.float32)
+        return slat, mv, prep_p, apply_p, u, r, fm
+
+    def test_residual_kernel(self):
+        slat, mv, prep_p, apply_p, u, r, fm = self._setup()
+        fz = apply_p.fused
+        assert fz.ok
+        io = jnp.float32
+        r2 = prep_p(r)
+        rng = np.random.default_rng(1)
+        b = jnp.asarray(rng.standard_normal(u.shape), jnp.float32) * fm
+        x = u * fm
+        out = fz.residual(io)(fz.to_flat(b, io), fz.to_flat(x, io),
+                              fz.to_flat(fm, io), fz.repad_r2(r2, io))
+        got = fz.from_flat(out)
+        want = fm * (b - mv.apply(x, mv.prepare(r)))
+        err = float(jnp.max(jnp.abs(got - want))
+                    / jnp.max(jnp.abs(want)))
+        assert err < 1e-5
+
+    def test_roundtrip_layout(self):
+        slat, mv, prep_p, apply_p, u, r, fm = self._setup()
+        fz = apply_p.fused
+        np.testing.assert_array_equal(
+            np.asarray(fz.from_flat(fz.to_flat(u, jnp.float32))),
+            np.asarray(u))
+
+    @pytest.mark.parametrize("deg,with_x0", [(1, False), (2, True),
+                                             (3, False)])
+    def test_cheb_run_matches_chebyshev(self, deg, with_x0):
+        from pylatticedso_tpu.parallel.multigrid import _chebyshev
+        slat, mv, prep_p, apply_p, u, r, fm = self._setup()
+        fz = apply_p.fused
+        io = jnp.float32
+        r2 = prep_p(r)
+        aux = mv.prepare(r)
+        A = lambda v: fm * mv.apply(fm * v, aux) + (1 - fm) * v
+        diag = slat.make_matvec()[1]
+        D = fm * diag(r) + (1 - fm)
+        D = jnp.where(D == 0, 1.0, D)
+        lmax = jnp.asarray(3.0, jnp.float32)
+        frac = 0.25
+        rng = np.random.default_rng(2)
+        b = jnp.asarray(rng.standard_normal(u.shape), jnp.float32) * fm
+        x0 = (u * fm) if with_x0 else None
+        want = _chebyshev(A, D, b, x0, lmax, frac, deg)
+
+        # fused: multi-program per-step path
+        fdinv = fz.to_flat(fm / D, io)
+        fmf = fz.to_flat(fm, io)
+        r2f = fz.repad_r2(r2, io)
+        sc = fz.sc(2.0 / ((1 + frac) * lmax), 2.0 / ((1 - frac) * lmax))
+        b_flat = fz.to_flat(b, io)
+        if x0 is None:
+            x, rr = jnp.zeros_like(b_flat), b_flat
+        else:
+            x = fz.to_flat(x0, io)
+            rr = fz.residual(io)(b_flat, x, fmf, r2f)
+        d = rr * fdinv * sc[0:1, 0:1]
+        got = None
+        for k, (c1, c2) in enumerate(fz.cheb_static(frac, deg)):
+            out = fz.cheb_run(io, c1, c2, k == deg - 1)(
+                x, rr, d, fdinv, sc, r2f)
+            if k == deg - 1:
+                got = fz.from_flat(out)
+            else:
+                x, rr, d = out
+        err = float(jnp.max(jnp.abs(got - want))
+                    / (jnp.max(jnp.abs(want)) + 1e-30))
+        assert err < 2e-5
+
+        # fused: single-program full-smoother path (small grid fits)
+        if fz.single_ok:
+            if x0 is None:
+                out2 = fz.cheb_full(io, frac, deg, False)(
+                    b_flat, fdinv, sc, r2f)
+            else:
+                out2 = fz.cheb_full(io, frac, deg, True)(
+                    b_flat, fz.to_flat(x0, io), fdinv, sc, r2f)
+            got2 = fz.from_flat(out2)
+            err2 = float(jnp.max(jnp.abs(got2 - want))
+                         / (jnp.max(jnp.abs(want)) + 1e-30))
+            assert err2 < 2e-5
+
+    def test_fused_vcycle_matches_unfused(self, monkeypatch):
+        from pylatticedso_tpu.parallel.multigrid import (
+            build_mg_hierarchy, mg_precond_state, mg_apply)
+        monkeypatch.setenv("PLDSO_MATVEC", "pallas")
+        monkeypatch.setenv("PLDSO_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("PLDSO_MG_FUSED_DTYPE", "f32")
+        monkeypatch.setenv("PLDSO_MG_FUSED", "1")
+        n = 4
+        slat = StructuredLattice("BCC", (n, n, n), (1.0, 1.0, 1.0),
+                                 1013.0, 0.3)
+        fixed = slat.select_nodes(lambda x, y, z: z == 0.0)
+        free_np = np.broadcast_to(
+            (slat.node_valid & ~fixed)[:, None], (slat.nc, 6) + slat.grid)
+        h = build_mg_hierarchy(slat, free_np)
+        r0 = jnp.asarray(
+            0.04 + 0.03 * np.random.default_rng(3).random((n, n, n)),
+            jnp.float32)
+        state = mg_precond_state(h, r0, power_iters=3)
+        assert all(f is not None for f in state["fused"])
+        rng = np.random.default_rng(4)
+        v = jnp.asarray(rng.standard_normal((slat.nc, 6) + slat.grid),
+                        jnp.float32) * h["levels"][0].free
+        monkeypatch.setenv("PLDSO_MG_BF16", "0")
+        M0 = mg_apply(h, state, nu=(1, 1), coarse_degree=6, fused=False)
+        y0 = M0(v)
+        M1 = mg_apply(h, state, nu=(1, 1), coarse_degree=6)
+        y1 = M1(v)
+        err = float(jnp.max(jnp.abs(y1 - y0))
+                    / (jnp.max(jnp.abs(y0)) + 1e-30))
+        assert err < 2e-5
+
+    def test_fused_bf16_compute_loose_parity(self, monkeypatch):
+        """PLDSO_MG_FUSED_COMPUTE=bf16 drops the fused kernels' stencil
+        arithmetic to bfloat16 (the V-cycle is a preconditioner — only M's
+        shape matters, not its bits): parity holds to bf16 grade."""
+        monkeypatch.setenv("PLDSO_MG_FUSED_COMPUTE", "bf16")
+        slat, mv, prep_p, apply_p, u, r, fm = self._setup()
+        fz = apply_p.fused
+        io = jnp.float32
+        r2 = prep_p(r)
+        rng = np.random.default_rng(1)
+        b = jnp.asarray(rng.standard_normal(u.shape), jnp.float32) * fm
+        x = u * fm
+        out = fz.residual(io)(fz.to_flat(b, io), fz.to_flat(x, io),
+                              fz.to_flat(fm, io), fz.repad_r2(r2, io))
+        got = fz.from_flat(out)
+        want = fm * (b - mv.apply(x, mv.prepare(r)))
+        err = float(jnp.max(jnp.abs(got - want))
+                    / jnp.max(jnp.abs(want)))
+        assert 1e-7 < err < 8e-2      # bf16-grade, and actually engaged
