@@ -60,6 +60,11 @@ def run_structured(n: int):
     # nu=(1,2) and 0.0603 for nu=1
     # (data/outputs/tpu_queue/mg_sweep2.log, 2026-08-21)
     os.environ.setdefault("PLDSO_MG_BF16", "1")
+    # fused-smoother V-cycle (stencil_pallas apply.fused): 0.0594 vs
+    # 0.0611 s/step unfused in the same windows (mg_fused_ab.log,
+    # 2026-08-21); BENCH_MG_FUSED=0 restores the unfused path
+    os.environ.setdefault("PLDSO_MG_FUSED",
+                          os.environ.get("BENCH_MG_FUSED", "1"))
     _nu = os.environ.get("BENCH_MG_NU", "1,1")  # "1,1" = per-level schedule
     mg_opts = {"nu": (tuple(int(v) for v in _nu.split(","))
                       if "," in _nu else int(_nu)),

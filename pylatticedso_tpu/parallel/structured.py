@@ -372,20 +372,29 @@ class StructuredLattice:
             r = jnp.asarray(radius, dt)
             r = jnp.broadcast_to(r, (self.n_geom, nx, ny, nz))
             valid = jnp.asarray(self.cell_valid, dt)
-            rps = []
+            # square ONCE per geometry (selection commutes with squaring
+            # on r >= 0), and skip the first-wins select entirely for
+            # single-creator edges: _sections runs once per solve AND in
+            # the analytic-gradient VJP, and its per-edge op chains cost
+            # ~3 ms/step at 50^3 before this (profile_r5)
+            rps2 = []
             for g in range(self.n_geom):
                 rp = jnp.zeros((nx + 2, ny + 2, nz + 2), dt)
-                rps.append(rp.at[1:nx + 1, 1:ny + 1, 1:nz + 1].set(
-                    r[g] * valid))
+                rv = r[g] * valid
+                rps2.append(rp.at[1:nx + 1, 1:ny + 1, 1:nz + 1].set(
+                    rv * rv))
             out = []
             for (*_frame, ca, cb, oa, ob, ext, creators, inst) in consts:
-                r_inst = jnp.zeros(ext, dt)
+                r2_inst = None
                 for s in creators:  # low->high priority; later overwrites
                     sl = tuple(slice(1 - s[ax], 1 - s[ax] + ext[ax])
                                for ax in range(3))
-                    cand = rps[s[3]][sl]
-                    r_inst = jnp.where(cand > 0, cand, r_inst)
-                out.append(r_inst * r_inst * inst)
+                    cand = rps2[s[3]][sl]
+                    r2_inst = cand if r2_inst is None \
+                        else jnp.where(cand > 0, cand, r2_inst)
+                if r2_inst is None:
+                    r2_inst = jnp.zeros(ext, dt)
+                out.append(r2_inst * inst)
             return out
 
         def _slices(ca, cb, oa, ob, ext):

@@ -267,3 +267,37 @@ class TestFusedSmoother:
         err = float(jnp.max(jnp.abs(got - want))
                     / jnp.max(jnp.abs(want)))
         assert 1e-7 < err < 8e-2      # bf16-grade, and actually engaged
+
+    def test_fused_vcycle_hybrid_geometry(self, monkeypatch):
+        """Fused V-cycle on a multi-geometry (hybrid) lattice: per-edge
+        r^2 flats, collision-split templates and per-geometry radius
+        fields must survive the fused kernels unchanged."""
+        from pylatticedso_tpu.parallel.multigrid import (
+            build_mg_hierarchy, mg_precond_state, mg_apply)
+        monkeypatch.setenv("PLDSO_MATVEC", "pallas")
+        monkeypatch.setenv("PLDSO_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("PLDSO_MG_FUSED_DTYPE", "f32")
+        monkeypatch.setenv("PLDSO_MG_FUSED", "1")
+        n = 4
+        slat = StructuredLattice(["BCC", "Hybrid1"], (n, n, n),
+                                 (1.0, 1.0, 1.0), 1013.0, 0.3)
+        fixed = slat.select_nodes(lambda x, y, z: z == 0.0)
+        free_np = np.broadcast_to(
+            (slat.node_valid & ~fixed)[:, None], (slat.nc, 6) + slat.grid)
+        h = build_mg_hierarchy(slat, free_np)
+        r0 = jnp.asarray(
+            0.04 + 0.03 * np.random.default_rng(9).random((2, n, n, n)),
+            jnp.float32)
+        state = mg_precond_state(h, r0, power_iters=3)
+        if not all(f is not None for f in state["fused"]):
+            pytest.skip("hybrid template exceeds fused VMEM model here")
+        rng = np.random.default_rng(10)
+        v = jnp.asarray(rng.standard_normal((slat.nc, 6) + slat.grid),
+                        jnp.float32) * h["levels"][0].free
+        monkeypatch.setenv("PLDSO_MG_BF16", "0")
+        y0 = mg_apply(h, state, nu=(1, 1), coarse_degree=6,
+                      fused=False)(v)
+        y1 = mg_apply(h, state, nu=(1, 1), coarse_degree=6)(v)
+        err = float(jnp.max(jnp.abs(y1 - y0))
+                    / (jnp.max(jnp.abs(y0)) + 1e-30))
+        assert err < 2e-5
