@@ -45,7 +45,8 @@ def pcg(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
         x0: Optional[jnp.ndarray] = None, maxiter: int = 1000,
         tol: float = 1e-10, mintol: float = 0.0,
         alpha_max: Optional[float] = None,
-        restart_every: int = 0, track_history: bool = False) -> PCGResult:
+        restart_every: int = 0, track_history: bool = False,
+        flexible: bool = False) -> PCGResult:
     """Matrix-free PCG over arrays of any shape.
 
     Args mirror the reference solver; ``alpha_max``/``restart_every``/
@@ -78,6 +79,7 @@ def pcg(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
         if alpha_max is not None:
             alpha = jnp.minimum(alpha, alpha_max)
         x = x + alpha * p
+        r_old = r
         r = r - alpha * Ap
         res = _norm(r)
         if hist is not None:
@@ -87,7 +89,8 @@ def pcg(A: Callable, b: jnp.ndarray, M: Optional[Callable] = None,
             done = jnp.logical_or(done, _norm(p) < mintol * (_norm(x) + 1e-12))
         z = M(r)
         rz_new = _dot(r, z)
-        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        num = _dot(z, r - r_old) if flexible else rz_new
+        beta = num / jnp.where(rz == 0, 1.0, rz)
         p = z + beta * p
         if restart_every > 0:
             p = jnp.where((k + 1) % restart_every == 0, z, p)

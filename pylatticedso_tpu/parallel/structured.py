@@ -712,7 +712,8 @@ def make_structured_compliance_step(slat: StructuredLattice,
         def solve_fn(mv, rhs):
             # warm start affects convergence only, not the fixed point, so
             # implicit differentiation stays exact
-            return pcg(mv, rhs, M=M, x0=u0 * free, maxiter=maxiter, tol=tol).x
+            return pcg(mv, rhs, M=M, x0=u0 * free, maxiter=maxiter,
+                       tol=tol).x
 
         u = jax.lax.custom_linear_solve(A, b, solve_fn, symmetric=True)
         return free * u + (1.0 - free) * u_imp

@@ -146,3 +146,41 @@ def test_vcycle_nu_schedule_symmetric_and_converges():
     A = lambda u: free * matvec(free * u, r0) + (1.0 - free) * u
     res = pcg(A, free * f, M=M, maxiter=300, tol=1e-8)
     assert bool(res.converged)
+
+
+
+def test_flexible_cg_tolerates_varying_preconditioner():
+    """pcg(flexible=True) uses the IPCG beta <z,r_new-r_old>/<z,r>: on an
+    SPD system with a deliberately ITERATION-VARYING SPD preconditioner it
+    must still converge (standard beta loses conjugacy there), and on a
+    fixed M it must agree with standard PCG."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pylatticedso_tpu.fem.solve import pcg
+
+    rng = np.random.default_rng(0)
+    n = 120
+    Q = np.linalg.qr(rng.normal(size=(n, n)))[0]
+    A64 = Q @ np.diag(np.linspace(1.0, 2e3, n)) @ Q.T
+    x_true = rng.normal(size=n)
+    b = jnp.asarray(A64 @ x_true)
+    A = lambda x: jnp.asarray(A64) @ x
+    d = jnp.asarray(np.diag(A64))
+
+    # varying SPD preconditioner: scaled Jacobi whose scale depends on the
+    # current residual norm (changes every iteration)
+    def M_var(r):
+        s = 1.0 + jnp.tanh(jnp.linalg.norm(r))
+        return r / (d * s)
+
+    out = pcg(A, b, M=M_var, maxiter=800, tol=1e-10, flexible=True)
+    err = float(np.linalg.norm(np.asarray(out.x) - x_true)
+                / np.linalg.norm(x_true))
+    assert bool(out.converged) and err < 1e-7
+
+    # fixed M: flexible == standard to roundoff
+    M = lambda r: r / d
+    x_std = pcg(A, b, M=M, maxiter=800, tol=1e-12).x
+    x_flx = pcg(A, b, M=M, maxiter=800, tol=1e-12, flexible=True).x
+    np.testing.assert_allclose(np.asarray(x_flx), np.asarray(x_std),
+                               rtol=1e-6, atol=1e-10)
