@@ -346,7 +346,7 @@ def _mg_apply_fused(h: dict, state: dict, nus, nu_at,
         else:
             x = x0_flat
             r = fz.residual(io)(b_flat, x0_flat, st["fm"], st["r2"])
-        inv_theta = sc[0:1, 0:1].astype(f32)
+        inv_theta = sc[0].astype(f32)
         d = (r.astype(f32) * st["fdinv"].astype(f32)
              * inv_theta).astype(io)
         for k, (c1, c2) in enumerate(fz.cheb_static(frac, deg)):
@@ -421,7 +421,7 @@ def mg_precond_state(h: dict, radius_field: jnp.ndarray,
     for lvl, aux, D in zip(levels, auxs, Ds):
         fz = getattr(getattr(lvl.matvec, "apply", None), "fused", None)
         if (aux is None or fz is None or not fz.ok
-                or _os.environ.get("PLDSO_MG_FUSED") != "1"):
+                or _os.environ.get("PLDSO_MG_FUSED") not in ("1", "force")):
             # only materialize the fused-smoother operand flats when the
             # fused V-cycle is enabled — keeps the default state pytree
             # (and every sharded/frozen-state consumer) unchanged
@@ -467,11 +467,25 @@ def mg_apply(h: dict, state: dict, nu=2, coarse_degree: int = 24,
                               state["lmaxs"])
     auxs_lo = state.get("auxs_lo", [None] * nL)
     fused_ops = state.get("fused", [None] * nL)
+    env_fused = os.environ.get("PLDSO_MG_FUSED", "")
     if fused is None:
-        fused = os.environ.get("PLDSO_MG_FUSED") == "1"
-    if fused and all(f is not None for f in fused_ops):
-        return _mg_apply_fused(h, state, nus, nu_at, coarse_degree,
-                               smooth_frac)
+        fused = env_fused in ("1", "force")
+    if fused:
+        if all(f is not None for f in fused_ops):
+            return _mg_apply_fused(h, state, nus, nu_at, coarse_degree,
+                                   smooth_frac)
+        # NEVER fall back silently: a "fused" benchmark that quietly ran
+        # the unfused path produced bogus A/B rows on 2026-08-21 (the
+        # fine level missed the VMEM model and nobody noticed)
+        missing = [i for i, f in enumerate(fused_ops) if f is None]
+        msg = (f"fused V-cycle requested but levels {missing} have no "
+               "fused kernels (VMEM model rejection, gather-form matvec, "
+               "or state built without PLDSO_MG_FUSED) — using the "
+               "unfused path")
+        if env_fused == "force":
+            raise RuntimeError(msg)
+        import warnings
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     def vcycle(level: int, b: jnp.ndarray) -> jnp.ndarray:
         lvl, rad, D, lmax = levels[level], radii[level], Ds[level], lmaxs[level]

@@ -616,12 +616,19 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
     fused = _Fused()
 
     # fused tile: same halo constraint, extra pointwise blocks (worst
-    # case cheb_run: x, r, fdinv, sc in + x', r', d' out ~= 6*rows_in).
-    # If the WHOLE padded field fits one tile under the fused budget
-    # (coarse MG levels), prefer it even when it exceeds the default
-    # tile: single-program unlocks the one-launch full-smoother kernel.
+    # case cheb_run: x, r, fdinv in + x', r', d' out ~= 6*rows_in),
+    # sized by the configured smoother storage dtype — an f32-sized
+    # estimate rejects the FINE level at 50^3 outright (silent unfused
+    # fallback; caught 2026-08-21).  If the WHOLE padded field fits one
+    # tile under the fused budget (coarse MG levels), prefer it even when
+    # it exceeds the default tile: single-program unlocks the one-launch
+    # full-smoother kernel.
+    _io_bytes = (2 if _os.environ.get("PLDSO_MG_FUSED_DTYPE",
+                                      "bf16") == "bf16" else 4)
+
     def _fits(Tc):
-        return _vmem_est(Tc, once) + 4 * Tc * 6 * rows_in * 2 <= budget
+        return (_vmem_est(Tc, once)
+                + _io_bytes * Tc * 6 * rows_in * 2 <= budget)
 
     T_full = max(-(-F // 128) * 128, Tmin)
     _tf = T_full if _fits(T_full) else None
@@ -663,9 +670,12 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
         fused.to_flat = to_flat8
         fused.from_flat = from_flat8
         fused.repad_r2 = repad_r2
-        fused.sc = lambda inv_theta, inv_delta: jnp.broadcast_to(
-            jnp.stack([inv_theta, inv_delta]
-                      ).astype(jnp.float32)[None, :], (8, 2))
+        # (2,) SMEM scalar operand: a (1,1) VMEM slice broadcast to
+        # (rows, T) crashes Mosaic at some tiles ("Broadcast in both
+        # sublanes and lanes", profile_r5b.log) — SMEM scalars lower
+        # through the supported scalar*vector path
+        fused.sc = lambda inv_theta, inv_delta: jnp.stack(
+            [inv_theta, inv_delta]).astype(jnp.float32)
 
         def _halo_specs(rows, Tc, np_):
             return [
@@ -682,8 +692,7 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
             return pl.BlockSpec((rows, Tc), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
 
-        _spec_sc = pl.BlockSpec((8, 2), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM)
+        _spec_sc = pl.BlockSpec(memory_space=pltpu.SMEM)
         _spec_coef_f = pl.BlockSpec((8, n_coef), lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
 
@@ -749,7 +758,7 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
                 d_cur = dc_[...].astype(jnp.float32)
                 x1 = x_[...].astype(jnp.float32) + d_cur
                 r1 = r_[...].astype(jnp.float32) - kd
-                inv_delta = sc_[0:1, 1:2]
+                inv_delta = sc_[1]
                 d1 = (c1 * d_cur
                       + (c2 * inv_delta) * r1 * fd_[...].astype(jnp.float32))
                 if final:
@@ -801,8 +810,8 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
                     (b_, fd_, sc_, r2_, coefs, out_ref) = refs
                 r2v = r2_[...]
                 cache = {}
-                inv_theta = sc_[0:1, 0:1]
-                inv_delta = sc_[0:1, 1:2]
+                inv_theta = sc_[0]
+                inv_delta = sc_[1]
                 b = b_[...].astype(jnp.float32)
                 fd = fd_[...].astype(jnp.float32)
                 if with_x0:

@@ -1,4 +1,4 @@
-"""A/B the fused-smoother V-cycle (PLDSO_MG_FUSED=1) against the default
+"""A/B the fused-smoother V-cycle (PLDSO_MG_FUSED=force) against the default
 MG path on the real TPU at bench scale.
 
 The fused path (stencil_pallas.py apply.fused + multigrid._mg_apply_fused)
@@ -93,6 +93,6 @@ def run(name, env):
 
 
 run("unfused bf16 nu=(1,1) (default)", {})
-run("fused bf16", {"PLDSO_MG_FUSED": "1", "PLDSO_MG_FUSED_DTYPE": "bf16"})
-run("fused f32", {"PLDSO_MG_FUSED": "1", "PLDSO_MG_FUSED_DTYPE": "f32"})
+run("fused bf16", {"PLDSO_MG_FUSED": "force", "PLDSO_MG_FUSED_DTYPE": "bf16"})
+run("fused f32", {"PLDSO_MG_FUSED": "force", "PLDSO_MG_FUSED_DTYPE": "f32"})
 print("MG FUSED AB DONE", flush=True)

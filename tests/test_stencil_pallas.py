@@ -191,7 +191,7 @@ class TestFusedSmoother:
         else:
             x = fz.to_flat(x0, io)
             rr = fz.residual(io)(b_flat, x, fmf, r2f)
-        d = rr * fdinv * sc[0:1, 0:1]
+        d = rr * fdinv * sc[0]
         got = None
         for k, (c1, c2) in enumerate(fz.cheb_static(frac, deg)):
             out = fz.cheb_run(io, c1, c2, k == deg - 1)(
