@@ -65,11 +65,14 @@ def run_structured(n: int):
     # 2026-08-21); BENCH_MG_FUSED=0 restores the unfused path
     os.environ.setdefault("PLDSO_MG_FUSED",
                           os.environ.get("BENCH_MG_FUSED", "1"))
-    _nu = os.environ.get("BENCH_MG_NU", "1,1")  # "1,1" = per-level schedule
+    # fused-path sweep winners (mg_fused_sweep2 + mg_fused_combo, both
+    # force-mode): nu=(1,2) 0.0431 / frac.35 0.0430 / combo 0.0432-0.0434
+    # vs ref nu=(1,1) frac.25 0.0437-0.0439 in the same windows
+    _nu = os.environ.get("BENCH_MG_NU", "1,2")  # per-level schedule
     mg_opts = {"nu": (tuple(int(v) for v in _nu.split(","))
                       if "," in _nu else int(_nu)),
                "coarse_degree": int(os.environ.get("BENCH_MG_COARSE", "24")),
-               "smooth_frac": float(os.environ.get("BENCH_MG_FRAC", "0.25")),
+               "smooth_frac": float(os.environ.get("BENCH_MG_FRAC", "0.35")),
                "power_iters": int(os.environ.get("BENCH_MG_POWER", "5"))}
     step = make_structured_compliance_step(sl, free, f, tol=tol,
                                            maxiter=maxiter, precond=precond,
