@@ -439,19 +439,52 @@ class StructuredLattice:
                 out = out.at[(cb,) + sxb].add(fB)
             return out
 
+        # Batched prepare: every per-edge padded r^2 field is a pure
+        # 3-D SHIFT of one per-geometry squared base grid (selection
+        # commutes with squaring; the per-edge placement offset (1,1,1)
+        # and the creator shift s in {0,1}^3 compose into q -> q - s), so
+        # the whole [n_e, Xp, Yp, Zp] tensor is n_e lazy flat slices +
+        # ONE concat + ONE static-mask multiply, instead of ~2 ops per
+        # edge per stage (~70 XLA launches, 3.0 ms/solve at 50^3 —
+        # profile_r5c).  The static mask bakes placement extent AND
+        # instance validity.
+        _Xp, _Yp, _Zp = (g + 2 for g in self.grid)
+        _F2 = _Xp * _Yp * _Zp
+        _strides = (_Yp * _Zp, _Zp, 1)
+        _mask_np = np.zeros((len(consts), _Xp, _Yp, _Zp), np.float32)
+        for _e, (*_f, ext, _cr, _iv) in enumerate(consts):
+            _mask_np[_e, 1:1 + ext[0], 1:1 + ext[1], 1:1 + ext[2]] = \
+                np.asarray(_iv, np.float32)
+        _prep_mask = jnp.asarray(_mask_np, dt)
+        _maxsh = sum(_strides)                  # covers any s in {0,1}^3
+
         def prepare_gather(radius):
             """Radius field -> per-edge padded r^2 fields [n_edges, Xp, Yp,
             Zp].  Loop-invariant inside a solve: compute ONCE per radius and
-            reuse across every CG/smoother matvec (the creator-priority
-            selects are not free)."""
-            X, Y, Z = self.grid
-            r2s = _sections(radius)
-            r2ps = []
-            for (*_f, ext, _cr, _iv), r2 in zip(consts, r2s):
-                r2p = jnp.zeros((X + 2, Y + 2, Z + 2), dt)
-                r2ps.append(r2p.at[1:1 + ext[0], 1:1 + ext[1],
-                                   1:1 + ext[2]].set(r2))
-            return jnp.stack(r2ps)
+            reuse across every CG/smoother matvec."""
+            r = jnp.asarray(radius, dt)
+            r = jnp.broadcast_to(r, (self.n_geom, nx, ny, nz))
+            valid = jnp.asarray(self.cell_valid, dt)
+            flats = []
+            for g in range(self.n_geom):
+                B = jnp.zeros((_Xp, _Yp, _Zp), dt)
+                rv = r[g] * valid
+                B = B.at[1:nx + 1, 1:ny + 1, 1:nz + 1].set(rv * rv)
+                flats.append(jnp.pad(B.reshape(-1), (_maxsh, _maxsh)))
+
+            def row(s):                          # B[q - s], zeros outside
+                sh = sum(int(s[ax]) * _strides[ax] for ax in range(3))
+                return flats[s[3]][_maxsh - sh:_maxsh - sh + _F2]
+
+            rows = []
+            for (*_f, ext, creators, _iv) in consts:
+                cand = None
+                for s in creators:   # low->high priority; later overwrites
+                    c = row(s)
+                    cand = c if cand is None else jnp.where(c > 0, c, cand)
+                rows.append(cand)
+            stacked = jnp.stack(rows).reshape(len(consts), _Xp, _Yp, _Zp)
+            return stacked * _prep_mask
 
         def apply_gather(u, r2ps):
             """Gather-form K.u: every output point SUMS shifted-slice reads
