@@ -217,6 +217,13 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
     # adaptive tile: single-program when the whole field fits one tile
     # (coarse multigrid levels), else the VMEM-sized default
     T = min(int(tile), -(-F // 128) * 128)
+    if nc > 8:
+        # wide multi-geometry templates: the alpha model underestimates
+        # their temporaries >2x (measured 34.97M real scoped at T=3072,
+        # 16.34M at ~T=1400 — linear in T), so clamp to the empirically
+        # fitting tile instead of trusting the search
+        T = min(T, int(_os.environ.get("PLDSO_PALLAS_HYBRID_MAXTILE",
+                                       "1280")))
     Tmin = -(-(H + 1) // 128) * 128
     T = max(T, Tmin)
     if T <= H:
@@ -239,7 +246,15 @@ def make_pallas_matvec(slat, xla_prepare: Callable, xla_apply: Callable,
                 continue
             duw = abs(rr["du"])
             w += (Tc + duw) if (once_flag and duw <= Tc // 2) else 2 * Tc
-        return blocks + 19.0 * 4.0 * w
+        # wide multi-geometry templates spill far more temporaries than
+        # the alpha model sees: the 16-class hybrid at 50^3 measured
+        # 16.34M real scoped vs an under-14M estimate, and a SMALLER tile
+        # measured 18.22M (extended once-windows grow as T shrinks) —
+        # bench_hybrid_r5 OOMs, 2026-08-21.  A 1.5x margin routes large
+        # hybrid grids to the honest construction-time fallback (XLA
+        # gather at the fine level; coarse MG levels still fit).
+        margin = 1.5 if nc > 8 else 1.0
+        return margin * (blocks + 19.0 * 4.0 * w)
 
     budget = float(_os.environ.get("PLDSO_PALLAS_VMEM_BUDGET", "14e6"))
 

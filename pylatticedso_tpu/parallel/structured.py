@@ -858,6 +858,7 @@ def make_structured_compliance_step(slat: StructuredLattice,
 
     step._jitted = vag
     step._jitted_frozen = vag_frozen
+    step._sa_frozen = sa_an_frozen  # default fast path (None if ineligible)
     step._operands = (free, f)
     step.raw = compliance          # (radius_field, free, f, u0) -> (obj, u)
 
