@@ -32,7 +32,7 @@ sys.path.insert(0, os.environ["AOT_REPO"])
 os.environ.setdefault("PLDSO_MATVEC", "pallas")
 os.environ.setdefault("PLDSO_MG_BF16", "1")
 os.environ.setdefault("PLDSO_MG_FUSED", "1")
-from jax.experimental import serialize_executable as se
+from pylatticedso_tpu.utils.aot import save_executables, load_executables
 from pylatticedso_tpu.parallel.structured import (
     StructuredLattice, make_structured_compliance_step)
 
@@ -60,26 +60,21 @@ fn = (step._sa_frozen if getattr(step, "_sa_frozen", None) is not None
       else step._jitted_frozen)
 if mode == "save":
     t0 = time.time()
-    ps = step.precond_state(r0)
-    lowered = fn.lower(r0, free_o, f_o, u0, ps)
-    compiled = lowered.compile()
+    c_ps = step.precond_state.lower(r0).compile()
+    ps = c_ps(r0)
+    compiled = fn.lower(r0, free_o, f_o, u0, ps).compile()
     t_compile = time.time() - t0
-    payload, in_tree, out_tree = se.serialize(compiled)
-    with open(path, "wb") as fh:
-        pickle.dump({"payload": payload, "in_tree": in_tree,
-                     "out_tree": out_tree}, fh)
+    nbytes = save_executables(path, {"step": compiled, "pstate": c_ps})
     out = compiled(r0, free_o, f_o, u0, ps)
     jax.block_until_ready(out)
-    print(f"AOT_SAVE ok compile={t_compile:.1f}s "
-          f"bytes={os.path.getsize(path)}", flush=True)
+    print(f"AOT_SAVE ok compile={t_compile:.1f}s bytes={nbytes}",
+          flush=True)
 else:
     t0 = time.time()
-    with open(path, "rb") as fh:
-        blob = pickle.load(fh)
-    loaded = se.deserialize_and_load(blob["payload"], blob["in_tree"],
-                                     blob["out_tree"])
+    cs = load_executables(path)
+    loaded, loaded_ps = cs["step"], cs["pstate"]
     t_load = time.time() - t0
-    ps = step.precond_state(r0)     # state build still compiles (small)
+    ps = loaded_ps(r0)
     t1 = time.time()
     out = loaded(r0, free_o, f_o, u0, ps)
     jax.block_until_ready(out)
