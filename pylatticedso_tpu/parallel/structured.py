@@ -330,10 +330,20 @@ class StructuredLattice:
                 t_, a1_, a2_, L_ = (jnp.asarray(e["t"], dt),
                                     jnp.asarray(e["a1"], dt),
                                     jnp.asarray(e["a2"], dt), float(e["L"]))
+            # instance-validity masks are EMBEDDED jit constants; their
+            # cell-validity component is redundant (the r^2 bases are
+            # already cell_valid-multiplied, and every stiffness term is
+            # proportional to r^2, so invalid instances contribute
+            # exactly zero) — embedding them anyway cost ~150 MB of
+            # program constants at 100^3 and blew the remote compile
+            # tunnel's request limit (HTTP 413, bench_n100).  Only
+            # node_keep TRIMMING carries real information: keep the mask
+            # solely in that case.
+            inst_c = (jnp.asarray(e["inst_valid"], dt)
+                      if self.node_keep is not None else None)
             consts.append((
                 t_, a1_, a2_, L_, e["ca"], e["cb"],
-                e["oa"], e["ob"], e["ext"], e["creators"],
-                jnp.asarray(e["inst_valid"], dt)))
+                e["oa"], e["ob"], e["ext"], e["creators"], inst_c))
 
         def _b(w):
             """Frame-vector broadcast: template frames are [3] constants,
@@ -394,7 +404,7 @@ class StructuredLattice:
                         else jnp.where(cand > 0, cand, r2_inst)
                 if r2_inst is None:
                     r2_inst = jnp.zeros(ext, dt)
-                out.append(r2_inst * inst)
+                out.append(r2_inst if inst is None else r2_inst * inst)
             return out
 
         def _slices(ca, cb, oa, ob, ext):
@@ -451,11 +461,19 @@ class StructuredLattice:
         _Xp, _Yp, _Zp = (g + 2 for g in self.grid)
         _F2 = _Xp * _Yp * _Zp
         _strides = (_Yp * _Zp, _Zp, 1)
-        _mask_np = np.zeros((len(consts), _Xp, _Yp, _Zp), np.float32)
-        for _e, (*_f, ext, _cr, _iv) in enumerate(consts):
-            _mask_np[_e, 1:1 + ext[0], 1:1 + ext[1], 1:1 + ext[2]] = \
-                np.asarray(_iv, np.float32)
-        _prep_mask = jnp.asarray(_mask_np, dt)
+        # placement box and cell validity are IMPLIED by the shift
+        # structure (the shifted base is nonzero exactly on the box of
+        # valid creating cells), so a mask constant is needed only for
+        # node_keep trimming — embedding it unconditionally cost ~170 MB
+        # of program constants at 100^3 (remote-compile HTTP 413)
+        _prep_mask = None
+        if self.node_keep is not None:
+            _mask_np = np.zeros((len(consts), _Xp, _Yp, _Zp), np.float32)
+            for _e, e in enumerate(self.edges):
+                ext = e["ext"]
+                _mask_np[_e, 1:1 + ext[0], 1:1 + ext[1], 1:1 + ext[2]] = \
+                    np.asarray(e["inst_valid"], np.float32)
+            _prep_mask = jnp.asarray(_mask_np, dt)
         _maxsh = sum(_strides)                  # covers any s in {0,1}^3
 
         def prepare_gather(radius):
@@ -484,7 +502,7 @@ class StructuredLattice:
                     cand = c if cand is None else jnp.where(c > 0, c, cand)
                 rows.append(cand)
             stacked = jnp.stack(rows).reshape(len(consts), _Xp, _Yp, _Zp)
-            return stacked * _prep_mask
+            return stacked if _prep_mask is None else stacked * _prep_mask
 
         def apply_gather(u, r2ps):
             """Gather-form K.u: every output point SUMS shifted-slice reads
