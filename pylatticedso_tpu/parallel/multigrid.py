@@ -389,7 +389,8 @@ def _mg_apply_fused(h: dict, state: dict, nus, nu_at,
 
 # ------------------------------------------------------------- V-cycle
 def mg_precond_state(h: dict, radius_field: jnp.ndarray,
-                     power_iters: int = 10) -> dict:
+                     power_iters: int = 10,
+                     fused: Optional[bool] = None) -> dict:
     """Radius-derived V-cycle state: per-level radii, hoisted matvec
     operands, Jacobi diagonals, and lmax estimates (a pytree of arrays,
     so it can be computed in its own jit and passed across steps — a
@@ -417,11 +418,14 @@ def mg_precond_state(h: dict, radius_field: jnp.ndarray,
     io = (jnp.bfloat16
           if _os.environ.get("PLDSO_MG_FUSED_DTYPE", "bf16") == "bf16"
           else jnp.float32)
+    if fused is None:
+        # env default; the mg_opts={"fused": True} library opt-in arrives
+        # via this parameter (threaded from make_structured_compliance_step)
+        fused = _os.environ.get("PLDSO_MG_FUSED") in ("1", "force")
     fused_ops = []
     for lvl, aux, D in zip(levels, auxs, Ds):
         fz = getattr(getattr(lvl.matvec, "apply", None), "fused", None)
-        if (aux is None or fz is None or not fz.ok
-                or _os.environ.get("PLDSO_MG_FUSED") not in ("1", "force")):
+        if (aux is None or fz is None or not fz.ok or not fused):
             # only materialize the fused-smoother operand flats when the
             # fused V-cycle is enabled — keeps the default state pytree
             # (and every sharded/frozen-state consumer) unchanged

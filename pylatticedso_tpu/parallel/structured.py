@@ -500,6 +500,8 @@ class StructuredLattice:
                 for s in creators:   # low->high priority; later overwrites
                     c = row(s)
                     cand = c if cand is None else jnp.where(c > 0, c, cand)
+                if cand is None:     # creator-less edge (mirrors _sections)
+                    cand = jnp.zeros(_F2, dt)
                 rows.append(cand)
             stacked = jnp.stack(rows).reshape(len(consts), _Xp, _Yp, _Zp)
             return stacked if _prep_mask is None else stacked * _prep_mask
@@ -751,7 +753,7 @@ def make_structured_compliance_step(slat: StructuredLattice,
             if pstate is None:
                 pstate = mg_precond_state(
                     mg_hier, jax.lax.stop_gradient(radius_field),
-                    power_iters=power)
+                    power_iters=power, fused=opts.get("fused"))
             M = mg_apply(mg_hier, pstate, **opts)
         else:
             dg = free * diag_fn(jax.lax.stop_gradient(radius_field)) \
@@ -871,8 +873,10 @@ def make_structured_compliance_step(slat: StructuredLattice,
     if mg_hier is not None:
         from .multigrid import mg_precond_state as _mps
         _power = (mg_opts or {}).get("power_iters", 10)
+        _fused_opt = (mg_opts or {}).get("fused")
         step.precond_state = jax.jit(
-            lambda r: _mps(mg_hier, r, power_iters=_power))
+            lambda r: _mps(mg_hier, r, power_iters=_power,
+                           fused=_fused_opt))
 
     step._jitted = vag
     step._jitted_frozen = vag_frozen

@@ -14,7 +14,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 os.environ.setdefault("PLDSO_MATVEC", "pallas")
-os.environ["PLDSO_MG_FUSED"] = "1"
+os.environ["PLDSO_MG_FUSED"] = "force"
 os.environ.setdefault("PLDSO_MG_FUSED_DTYPE", "bf16")
 
 import numpy as np

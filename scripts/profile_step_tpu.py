@@ -27,6 +27,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 os.environ.setdefault("PLDSO_MATVEC", "pallas")
 os.environ.setdefault("PLDSO_MG_BF16", "1")
+os.environ.setdefault("PLDSO_MG_FUSED", "1")   # bench default since r5
 
 import jax
 import jax.numpy as jnp
@@ -42,9 +43,9 @@ from pylatticedso_tpu.fem.solve import pcg
 N = int(os.environ.get("N", "50"))
 GEOM = os.environ.get("GEOM", "Octet")
 TOL = float(os.environ.get("TOL", "1e-6"))
-_nu = os.environ.get("MG_NU", "1,1")
+_nu = os.environ.get("MG_NU", "1,2")
 NU = tuple(int(v) for v in _nu.split(",")) if "," in _nu else int(_nu)
-FRAC = float(os.environ.get("MG_FRAC", "0.25"))
+FRAC = float(os.environ.get("MG_FRAC", "0.35"))
 DEG = int(os.environ.get("MG_COARSE", "24"))
 POWER = int(os.environ.get("MG_POWER", "5"))
 MG_OPTS = {"nu": NU, "coarse_degree": DEG, "smooth_frac": FRAC,

@@ -1,11 +1,8 @@
 #!/bin/bash
-# Round-5 measurement queue: wait for tunnel recovery AND an idle host,
-# then run (in order)
-#   1. bench_r5        — new nu=(1,1) default + extra.bitwise field
-#   2. profile_r5      — chained decomposition of the CURRENT 0.06 s step
-#   3. gspmd_smoke     — shard_structured_step on the real chip (1-dev mesh)
-#   4. cache_probe     — two-process compile-cache effectiveness
-# Logs in data/outputs/tpu_queue/.  Usage: bash scripts/tpu_harvest_r7.sh
+# Round-5 follow-up queue (duplicated harness from tpu_harvest_r7.sh):
+#   1. mg_fused_ab   — fused-vs-unfused V-cycle A/B at bench scale
+#   2. bench_extrap  — warm-start secant extrapolation measurement
+# Logs in data/outputs/tpu_queue/.  Usage: bash scripts/tpu_harvest_r8.sh
 set -u
 cd "$(dirname "$0")/.."
 OUT=data/outputs/tpu_queue

@@ -301,3 +301,40 @@ class TestFusedSmoother:
         err = float(jnp.max(jnp.abs(y1 - y0))
                     / (jnp.max(jnp.abs(y0)) + 1e-30))
         assert err < 2e-5
+
+    def test_mg_opts_fused_optin_without_env(self, monkeypatch):
+        """The documented library opt-in — mg_opts={"fused": True} on
+        make_structured_compliance_step — must engage the fused V-cycle
+        WITHOUT the PLDSO_MG_FUSED env var (the state build threads the
+        option through mg_precond_state)."""
+        from pylatticedso_tpu.parallel.structured import (
+            StructuredLattice, make_structured_compliance_step)
+        monkeypatch.setenv("PLDSO_MATVEC", "pallas")
+        monkeypatch.setenv("PLDSO_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("PLDSO_MG_FUSED_DTYPE", "f32")
+        monkeypatch.delenv("PLDSO_MG_FUSED", raising=False)
+        n = 4
+        slat = StructuredLattice("BCC", (n, n, n), (1., 1., 1.), 1013.0,
+                                 0.3)
+        fixed = slat.select_nodes(lambda x, y, z: z == 0.0)
+        top = slat.select_nodes(lambda x, y, z: z == float(n))
+        free = slat.node_valid & ~fixed
+        f = np.zeros((slat.nc, 6) + slat.grid, np.float32)
+        for c in range(slat.nc):
+            f[c, 2][top[c]] = -1.0 / int(top.sum())
+        mg = {"nu": (1, 1), "coarse_degree": 6, "power_iters": 3}
+        s_ref = make_structured_compliance_step(
+            slat, free, f, tol=1e-8, maxiter=500, precond="mg",
+            mg_opts=mg)
+        s_fused = make_structured_compliance_step(
+            slat, free, f, tol=1e-8, maxiter=500, precond="mg",
+            mg_opts=dict(mg, fused=True))
+        r0 = jnp.full((n, n, n), 0.05, jnp.float32)
+        ps = s_fused.precond_state(r0)
+        assert all(fo is not None for fo in ps["fused"]), \
+            "opt-in state build must materialize fused operands"
+        c_f, g_f, _ = s_fused(r0, None, ps)
+        c_r, g_r, _ = s_ref(r0)
+        np.testing.assert_allclose(float(c_f), float(c_r), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                                   rtol=1e-4, atol=1e-10)
