@@ -214,3 +214,42 @@ def test_structured_step_sharded_rejects_indivisible():
     mesh = make_mesh(n_shard=4, n_dp=2)
     with pytest.raises(ValueError, match="divisible"):
         shard_structured_step(step, mesh)
+
+
+@pytest.mark.slow
+def test_structured_step_sharded_parity_mg_fused(monkeypatch):
+    """The FUSED V-cycle (interpret-mode kernels on the virtual mesh)
+    must survive GSPMD slab sharding like the unfused one: the fused
+    smoother is plain traced jax under interpret, so the partitioner has
+    to propagate shardings through the flat-layout kernels and match the
+    single-device step.  (Real Mosaic pallas partitioning across a
+    physical multi-chip mesh remains untested — one chip.)"""
+    from pylatticedso_tpu.parallel.structured import (
+        StructuredLattice, make_structured_compliance_step,
+        shard_structured_step)
+
+    monkeypatch.setenv("PLDSO_MATVEC", "pallas")
+    monkeypatch.setenv("PLDSO_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("PLDSO_MG_FUSED_DTYPE", "f32")
+    N = 7
+    slat = StructuredLattice("BCC", (N, 2, 2), (1.0, 1.0, 1.0),
+                             1013.0, 0.3)
+    free = slat.select_nodes(lambda x, y, z: x > 1e-9)
+    f = slat.node_field().astype(np.float32)
+    tip = slat.select_nodes(lambda x, y, z: x > N - 1e-9)
+    f[:, 2][tip] = -0.1
+    mg = {"nu": (1, 1), "coarse_degree": 8, "power_iters": 3,
+          "fused": True}
+    step = make_structured_compliance_step(slat, free, f, tol=1e-8,
+                                           maxiter=500, precond="mg",
+                                           mg_opts=mg)
+    r = jnp.full((N, 2, 2), 0.05, jnp.float32)
+    ps = step.precond_state(r)
+    assert all(fo is not None for fo in ps["fused"])
+    c0, g0, _ = step(r, None, ps)
+    mesh = make_mesh(n_shard=4, n_dp=2)
+    sstep = shard_structured_step(step, mesh)
+    c1, g1, _u1 = sstep(r, None, ps)
+    np.testing.assert_allclose(float(c1), float(c0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-8)
