@@ -89,24 +89,32 @@ class ThinPlateSplineRBF:
     """
 
     def __init__(self, x_train, y_train, reg: float = 0.0):
-        X = np.asarray(x_train, dtype=float)
-        Y = np.asarray(y_train, dtype=float)
-        if Y.ndim == 1:
-            Y = Y[:, None]
-        N, d = X.shape
-        r = np.linalg.norm(X[:, None, :] - X[None, :, :], axis=2)
-        Phi = np.where(r > 0, r**2 * np.log(np.where(r > 0, r, 1.0)), 0.0)
+        pts = np.asarray(x_train, dtype=float)
+        targets = np.asarray(y_train, dtype=float)
+        if targets.ndim == 1:
+            targets = targets[:, None]
+        n_pts, d = pts.shape
+        # kernel matrix via the same r=0-safe form the device eval uses:
+        # r^2 log r = 0.5 * r^2 log r^2
+        sq = np.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=2)
+        kmat = 0.5 * sq * np.log(np.where(sq > 0, sq, 1.0))
         if reg > 0:
-            Phi = Phi + reg * np.eye(N)
-        P = np.hstack([np.ones((N, 1)), X])
-        A = np.block([[Phi, P], [P.T, np.zeros((d + 1, d + 1))]])
-        RHS = np.vstack([Y, np.zeros((d + 1, Y.shape[1]))])
-        sol = np.linalg.solve(A, RHS)
-        self.x_train = jnp.asarray(X)
-        self.W = jnp.asarray(sol[:N])
-        self.CP = jnp.asarray(sol[N:])
+            kmat += reg * np.eye(n_pts)
+        poly = np.hstack([np.ones((n_pts, 1)), pts])
+        # bordered system enforcing polynomial reproduction / orthogonality
+        npoly = d + 1
+        bordered = np.zeros((n_pts + npoly, n_pts + npoly))
+        bordered[:n_pts, :n_pts] = kmat
+        bordered[:n_pts, n_pts:] = poly
+        bordered[n_pts:, :n_pts] = poly.T
+        rhs = np.zeros((n_pts + npoly, targets.shape[1]))
+        rhs[:n_pts] = targets
+        coeffs = np.linalg.solve(bordered, rhs)
+        self.x_train = jnp.asarray(pts)
+        self.W = jnp.asarray(coeffs[:n_pts])      # RBF weights
+        self.CP = jnp.asarray(coeffs[n_pts:])     # polynomial-tail weights
         self.d = d
-        self.m = Y.shape[1]
+        self.m = targets.shape[1]
 
     def evaluate(self, x: jnp.ndarray) -> jnp.ndarray:
         """f(x) for a single query [d] -> [m]; jit/vmap/grad-safe at r=0."""
